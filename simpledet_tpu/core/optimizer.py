@@ -1,0 +1,47 @@
+"""Optimizer assembly: SGD-momentum + wd + grad clip + param freezing.
+
+Mirrors the reference optimizer setup (detection_train.py:261-272: sgd,
+momentum, wd, rescale_grad, clip) and DetModule's partial-name param
+freezing (core/detection_module.py:102-113: any param whose name contains a
+fixed_param substring is frozen, unless it matches excluded_param).
+"""
+import flax
+import jax.numpy as jnp
+import optax
+
+
+def freeze_mask(params, fixed_param, excluded_param=None):
+    """Pytree of bools: True = trainable. Partial substring matching on the
+    '/'-joined param path, like the reference."""
+    fixed = list(fixed_param or [])
+    excluded = list(excluded_param or [])
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {}
+    for path in flat:
+        name = "/".join(str(p) for p in path)
+        frozen = any(f in name for f in fixed)
+        if frozen and excluded and any(e in name for e in excluded):
+            frozen = False
+        mask[path] = not frozen
+    return flax.traverse_util.unflatten_dict(mask)
+
+
+def make_optimizer(lr_schedule, *, momentum=0.9, wd=1e-4, clip_gradient=None,
+                   trainable_mask=None):
+    chain = []
+    if clip_gradient:
+        chain.append(optax.clip(clip_gradient))
+    if wd:
+        # mxnet sgd adds wd*w to the gradient before momentum — and does NOT
+        # decay frozen params
+        chain.append(optax.add_decayed_weights(
+            wd, mask=trainable_mask if trainable_mask is not None else None))
+    chain.append(optax.sgd(lr_schedule, momentum=momentum))
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        import jax
+        labels = jax.tree.map(lambda t: "train" if t else "freeze",
+                              trainable_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx

@@ -1,0 +1,38 @@
+"""LR schedules: warmup + multi-factor step decay, cosine/poly/linear.
+
+Mirrors utils/lr_scheduler.py (WarmupMultiFactorScheduler:5,
+AdvancedLRScheduler:92) as optax schedules. The reference's distributed
+scaling rules (detection_train.py:196-245: lr x workers, iters / workers,
+warmup constant/gradual) are applied by the caller against the global batch.
+"""
+import optax
+
+
+def warmup_multifactor(base_lr, lr_iters, factor=0.1, warmup_type="gradual",
+                       warmup_lr=None, warmup_iter=0):
+    """Step-decay schedule with constant or gradual (linear) warmup."""
+    def sched(step):
+        import jax.numpy as jnp
+        lr = base_lr
+        for it in lr_iters:
+            lr = jnp.where(step >= it, lr * factor, lr)
+        if warmup_iter > 0:
+            wlr = warmup_lr if warmup_lr is not None else base_lr / 3.0
+            if warmup_type == "constant":
+                warm = wlr
+            else:  # gradual
+                warm = wlr + (base_lr - wlr) * (step / max(warmup_iter, 1))
+            lr = jnp.where(step < warmup_iter, warm, lr)
+        return lr
+    return sched
+
+
+def advanced(base_lr, total_iter, mode="cosine", offset=0):
+    if mode == "cosine":
+        return optax.cosine_decay_schedule(base_lr, max(total_iter - offset, 1))
+    if mode == "linear":
+        return optax.linear_schedule(base_lr, 0.0, max(total_iter - offset, 1))
+    if mode == "poly":
+        return optax.polynomial_schedule(base_lr, 0.0, 2.0,
+                                         max(total_iter - offset, 1))
+    raise NotImplementedError(mode)

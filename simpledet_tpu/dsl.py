@@ -1,0 +1,175 @@
+"""Detector-composition DSL — config-facing component classes.
+
+This is the compatibility layer that lets reference-style configs port
+unchanged (reference symbol/builder.py + models/FPN/builder.py public
+classes): configs instantiate Backbone/Neck/RpnHead/RoiExtractor/BboxHead
+wrappers from param classes and hand them to a Detector whose
+get_train_symbol/get_test_symbol return the assembled model. Here a "symbol"
+is a bound Flax module (the jittable graph), not an MXNet symbol.
+
+Repo-root `symbol/` and `models/` shim packages re-export these names so
+`from symbol.builder import FasterRcnn` works as in the reference.
+"""
+import jax.numpy as jnp
+
+from simpledet_tpu.core.config import patch_config_as_nothrow
+from simpledet_tpu.models import fpn as fpn_mod
+from simpledet_tpu.models import heads as heads_mod
+from simpledet_tpu.models import resnet as resnet_mod
+from simpledet_tpu.models.faster_rcnn import FasterRcnn as FasterRcnnModule
+from simpledet_tpu.models.norm import normalizer_factory
+from simpledet_tpu.models.rpn import FPNRpnHead as RpnHeadImpl
+
+
+def _dtype(p):
+    # fp16 on the reference == bf16 on TPU (no loss scaling needed)
+    return jnp.bfloat16 if getattr(p, "fp16", False) else jnp.float32
+
+
+def _norm(p):
+    n = getattr(p, "normalizer", None)
+    if n is None:
+        return normalizer_factory("fixbn")
+    return n
+
+
+class _BackboneBase:
+    depth = 50
+    variant = "v1"
+    num_stages = 4
+
+    def __init__(self, pBackbone):
+        p = patch_config_as_nothrow(pBackbone)
+        self.p = p
+        self.module = resnet_mod.ResNet(
+            depth=self.depth, variant=self.variant, norm=_norm(p),
+            dtype=_dtype(p), num_stages=self.num_stages,
+            name="backbone")
+
+
+class MSRAResNet50V1FPN(_BackboneBase):
+    depth, variant, num_stages = 50, "v1", 4
+
+
+class MSRAResNet101V1FPN(_BackboneBase):
+    depth, variant, num_stages = 101, "v1", 4
+
+
+class ResNet50V1bFPN(_BackboneBase):
+    depth, variant, num_stages = 50, "v1b", 4
+
+
+class ResNet101V1bFPN(_BackboneBase):
+    depth, variant, num_stages = 101, "v1b", 4
+
+
+class ResNet50V1dFPN(_BackboneBase):
+    depth, variant, num_stages = 50, "v1d", 4
+
+
+class MSRAResNet50V1C4(_BackboneBase):
+    depth, variant, num_stages = 50, "v1", 3
+
+
+class MSRAResNet101V1C4(_BackboneBase):
+    depth, variant, num_stages = 101, "v1", 3
+
+
+class FPNNeck:
+    def __init__(self, pNeck):
+        p = patch_config_as_nothrow(pNeck)
+        self.p = p
+        self.module = fpn_mod.FPNNeck(dtype=_dtype(p), name="neck")
+
+
+class Neck:
+    def __init__(self, pNeck):
+        p = patch_config_as_nothrow(pNeck)
+        self.p = p
+        self.module = fpn_mod.Neck(name="neck")
+
+
+class FPNRpnHead:
+    def __init__(self, pRpn):
+        p = patch_config_as_nothrow(pRpn)
+        p.dtype = _dtype(p)
+        self.p = p
+        self.impl = RpnHeadImpl(p)
+
+
+class FPNRoiAlign:
+    def __init__(self, pRoi):
+        self.p = patch_config_as_nothrow(pRoi)
+
+
+class RoiAlign(FPNRoiAlign):
+    pass
+
+
+class FPNBbox2fcHead:
+    def __init__(self, pBbox):
+        p = patch_config_as_nothrow(pBbox)
+        self.p = p
+        num_reg = 2 if (p.regress_target.class_agnostic or False) else p.num_class
+        self.module = heads_mod.Bbox2fcHead(
+            num_class=p.num_class, num_reg_class=num_reg, dtype=_dtype(p),
+            name="bbox_head")
+
+
+Bbox2fcHead = FPNBbox2fcHead
+
+
+class FasterRcnn:
+    """Detector singleton matching reference symbol/builder.py:42-95."""
+
+    @staticmethod
+    def _assemble(backbone, neck, rpn_head, roi_extractor, bbox_head):
+        return FasterRcnnModule(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            bbox_head=bbox_head.module, p_rpn=rpn_head.p,
+            p_roi=roi_extractor.p, p_bbox=bbox_head.p)
+
+    def get_train_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                         bbox_head):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head)
+
+    def get_test_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                        bbox_head):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head)
+
+    def get_rpn_test_symbol(self, backbone, neck, rpn_head):
+        class _RpnOnly:
+            class p:
+                pass
+        # assemble with a dummy head-less config: reuse the module in
+        # mode="rpn_test" (no bbox head params are touched)
+        from simpledet_tpu.models.heads import Bbox2fcHead as _BH
+
+        class _P:
+            num_class = 2
+
+            class regress_target:
+                class_agnostic = False
+                mean = (0., 0., 0., 0.)
+                std = (0.1, 0.1, 0.2, 0.2)
+
+        dummy = _BH(num_class=2, num_reg_class=2, name="bbox_head")
+        return FasterRcnnModule(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            bbox_head=dummy, p_rpn=rpn_head.p,
+            p_roi=patch_config_as_nothrow(_P), p_bbox=patch_config_as_nothrow(_P))
+
+
+class RPN(FasterRcnn):
+    """RPN-only detector (symbol/builder.py:9-39)."""
+    pass
+
+
+def add_anchor_to_arg(*args, **kw):
+    """No-op: anchors are constants folded into the jitted graph, not
+    checkpoint weights (reference symbol/builder.py:904-938)."""
+    return None

@@ -1,0 +1,109 @@
+"""Faster R-CNN detector assembly (train/test graphs as one Flax module).
+
+The TPU rewrite of the reference's symbolic assembly
+(symbol/builder.py:42-95 FasterRcnn.get_train_symbol / get_test_symbol +
+models/FPN/builder.py FPN components): backbone -> neck -> rpn head ->
+in-graph anchor targets + proposals -> in-graph proposal target sampling ->
+multilevel RoIAlign -> bbox head -> losses (train) or decoded detections
+(test). Everything is statically shaped and jit-compiled; sampling uses the
+'sampling' flax RNG collection.
+"""
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from simpledet_tpu.kernels.roi_align import multilevel_roi_align
+from simpledet_tpu.models.heads import (Bbox2fcHead, bbox_head_loss,
+                                        bbox_head_predict)
+from simpledet_tpu.models.rpn import FPNRpnHead
+from simpledet_tpu.targets.proposal_target import batched_proposal_target
+
+
+class FasterRcnn(nn.Module):
+    """Component-composed two-stage detector.
+
+    backbone / neck are bound Flax modules; rpn is an FPNRpnHead wrapper;
+    bbox_head is a Flax module; p* are nothrow config params (RpnParam,
+    RoiParam, BboxParam).
+    """
+    backbone: nn.Module
+    neck: nn.Module
+    rpn_module: nn.Module    # the conv head (params live here)
+    rpn: Any                 # FPNRpnHead helper (pure target/proposal fns)
+    bbox_head: nn.Module
+    p_rpn: Any
+    p_roi: Any
+    p_bbox: Any
+
+    def pyramid(self, data):
+        feats = self.backbone(data)
+        return self.neck(feats)
+
+    def extract_rois(self, pyramid, rois):
+        """[B, R, 4] rois -> [B, R, P, P, C] features from P2..P5."""
+        strides = tuple(self.p_roi.stride)
+        feats = [pyramid[f"stride{s}"].astype(jnp.float32) for s in strides]
+        fn = lambda fs, r: multilevel_roi_align(
+            fs, r, strides, out_size=self.p_roi.out_size,
+            canonical_scale=self.p_roi.roi_canonical_scale or 224,
+            canonical_level=self.p_roi.roi_canonical_level or 4)
+        return jax.vmap(fn)(feats, rois)
+
+    @nn.compact
+    def __call__(self, data, im_info, gt_bbox=None, mode="train"):
+        pad_hw = data.shape[1:3]
+        pyr = self.pyramid(data)
+        rpn_out = self.rpn_module(pyr)
+
+        if mode == "rpn_test":
+            boxes, scores = self.rpn.proposals(rpn_out, im_info, pad_hw,
+                                               is_train=False)
+            return {"proposal": boxes, "proposal_score": scores}
+
+        if mode == "train":
+            rng_anchor = self.make_rng("sampling")
+            rng_sample = self.make_rng("sampling")
+            rpn_losses, rpn_aux = self.rpn.loss(rng_anchor, rpn_out, gt_bbox,
+                                                im_info, pad_hw)
+            proposals, _ = self.rpn.proposals(rpn_out, im_info, pad_hw,
+                                              is_train=True)
+            ps = self.p_rpn.subsample_proposal
+            pt = self.p_rpn.bbox_target
+            sample = batched_proposal_target(
+                rng_sample, proposals, gt_bbox,
+                image_rois=ps.image_roi, fg_fraction=ps.fg_fraction,
+                fg_thr=ps.fg_thr, bg_thr_hi=ps.bg_thr_hi,
+                bg_thr_lo=ps.bg_thr_lo, num_reg_class=pt.num_reg_class,
+                class_agnostic=pt.class_agnostic,
+                proposal_wo_gt=ps.proposal_wo_gt or False,
+                bbox_mean=pt.mean, bbox_std=pt.std, bbox_weight=pt.weight)
+            sample = jax.lax.stop_gradient(sample)
+
+            roi_feat = self.extract_rois(pyr, sample["rois"])
+            cls_logit, bbox_delta = self.bbox_head(roi_feat)
+            losses = bbox_head_loss(
+                cls_logit, bbox_delta, sample["label"],
+                sample["bbox_target"], sample["bbox_weight"],
+                smooth_l1_scalar=getattr(self.p_bbox.regress_target,
+                                         "smooth_l1_scalar", None) or 1.0)
+            losses.update(rpn_losses)
+            aux = dict(rpn_aux)
+            aux["bbox_label"] = sample["label"]
+            aux["bbox_cls_logit"] = cls_logit
+            return losses, aux
+
+        # test: proposals -> head -> decoded per-class boxes
+        proposals, prop_scores = self.rpn.proposals(rpn_out, im_info, pad_hw,
+                                                    is_train=False)
+        roi_feat = self.extract_rois(pyr, proposals)
+        cls_logit, bbox_delta = self.bbox_head(roi_feat)
+        rt = self.p_bbox.regress_target
+        score, boxes = bbox_head_predict(
+            cls_logit, bbox_delta, proposals, im_info,
+            bbox_mean=rt.mean, bbox_std=rt.std,
+            class_agnostic=rt.class_agnostic or False,
+            num_class=self.p_bbox.num_class)
+        return {"cls_score": score, "bbox_xyxy": boxes, "rois": proposals,
+                "roi_score": prop_scores}

@@ -1,0 +1,56 @@
+"""Normalizer factory — the TPU analog of mxnext normalizer_factory.
+
+The reference picks BN flavor per-config (fixbn / syncbn / gn / dummy,
+config/faster_r50v1_fpn_1x.py:27-28). Here:
+
+  * fixbn  -> FrozenBN: per-channel affine with folded running stats. The
+    scale/bias are non-trainable (stop_gradient); at checkpoint-load time
+    gamma/beta/mean/var fold into (scale, bias), which subsumes the
+    reference's merge_bn graph rewrite (utils/graph_optimize.py:34-108) —
+    XLA fuses the resulting scale-bias into the adjacent conv for free.
+  * syncbn -> flax BatchNorm with batch stats computed over the GLOBAL
+    (mesh-sharded) batch: under pjit a mean over the batch axis already
+    spans all devices, which strictly generalizes the reference's
+    single-process SyncBatchNorm (operator_cxx/contrib/sync_batch_norm).
+  * gn     -> GroupNorm (replaces operator_cxx/contrib/group_norm).
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FrozenBN(nn.Module):
+    """y = x * scale + bias with constant (non-trainable) scale/bias.
+
+    scale = gamma / sqrt(var + eps), bias = beta - mean * scale are produced
+    by the checkpoint converter; fresh init is identity.
+    """
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        scale = jax.lax.stop_gradient(scale)
+        bias = jax.lax.stop_gradient(bias)
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def normalizer_factory(type="fixbn", ndev=None, eps=1e-5, group=32):
+    """Returns a callable (name -> norm module). type in
+    {fixbn, syncbn, localbn, gn, dummy}."""
+    def make(name=None, momentum=0.9):
+        if type == "fixbn":
+            return FrozenBN(epsilon=eps, name=name)
+        if type in ("syncbn", "localbn"):
+            # batch stats over the global sharded batch == sync BN
+            return nn.BatchNorm(use_running_average=False, momentum=momentum,
+                                epsilon=eps, name=name, axis_name=None)
+        if type == "gn":
+            return nn.GroupNorm(num_groups=group, epsilon=eps, name=name)
+        if type == "dummy":
+            return lambda x: x
+        raise NotImplementedError(f"normalizer {type}")
+    make.type = type
+    return make

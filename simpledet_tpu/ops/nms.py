@@ -1,0 +1,113 @@
+"""Static-shape greedy NMS and soft-NMS as jit-compatible jnp functions.
+
+Replaces the reference's CUDA bitmask NMS (operator_cxx/contrib/nms.cu,
+proposal.cu:263 nms_kernel) and the cython CPU kernels
+(operator_py/cython/cpu_nms.pyx). Greedy NMS is inherently sequential in its
+exact form; we precompute the NxK IoU matrix on the MXU/VPU and run the greedy
+scan as a lax.scan whose body is O(N) vector work, keeping everything
+statically shaped. A Pallas blocked variant lives in kernels/nms_pallas.py.
+
+Conventions: scores of invalid (padded) boxes must be -inf (or use valid mask);
+all outputs are fixed-size, padded with zeros / -1 indices.
+"""
+import jax
+import jax.numpy as jnp
+
+from simpledet_tpu.ops.bbox import bbox_overlaps
+
+NEG_INF = -1e10
+
+
+def nms_keep_sorted(sorted_boxes, sorted_valid, thr, legacy_plus_one=True):
+    """Greedy-NMS keep mask for boxes already sorted by descending score.
+
+    sorted_boxes: [N, 4]; sorted_valid: [N] bool. Returns keep [N] bool.
+    Exactly reproduces sequential greedy NMS given the sort order.
+    """
+    n = sorted_boxes.shape[0]
+    iou = bbox_overlaps(sorted_boxes, sorted_boxes, legacy_plus_one)
+    sup = (iou > thr) & sorted_valid[None, :] & sorted_valid[:, None]
+
+    def step(suppressed, xs):
+        row, i = xs
+        keep_i = jnp.logical_not(suppressed[i]) & sorted_valid[i]
+        suppressed = jnp.where(keep_i, suppressed | row, suppressed)
+        return suppressed, keep_i
+
+    init = jnp.zeros((n,), dtype=bool)
+    idx = jnp.arange(n)
+    # a box never suppresses itself
+    sup = sup & (idx[:, None] != idx[None, :])
+    _, keep = jax.lax.scan(step, init, (sup, idx))
+    return keep & sorted_valid
+
+
+def nms(boxes, scores, thr, max_out, valid=None, legacy_plus_one=True):
+    """Greedy NMS. boxes [N,4], scores [N] -> (boxes [max_out,4], scores [max_out],
+    idx [max_out] into the input, valid_out [max_out] bool), ordered by score.
+
+    Padded outputs carry score=NEG_INF, idx=-1, boxes=0.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores)
+    sboxes = boxes[order]
+    svalid = valid[order]
+    keep = nms_keep_sorted(sboxes, svalid, thr, legacy_plus_one)
+
+    # Compact kept boxes to the front, preserving score order:
+    # rank of each kept row = cumsum(keep) - 1; non-kept rows pushed to the back.
+    kept_scores = jnp.where(keep, masked_scores[order], NEG_INF)
+    if max_out > n:  # static pad so outputs are always [max_out, ...]
+        pad = max_out - n
+        kept_scores = jnp.pad(kept_scores, (0, pad), constant_values=NEG_INF)
+        sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
+        order = jnp.pad(order, (0, pad), constant_values=-1)
+    take = jnp.argsort(-kept_scores)[:max_out]
+    out_boxes = sboxes[take]
+    out_scores = kept_scores[take]
+    out_valid = out_scores > NEG_INF / 2
+    out_idx = jnp.where(out_valid, order[take], -1)
+    out_boxes = jnp.where(out_valid[:, None], out_boxes, 0.0)
+    return out_boxes, jnp.where(out_valid, scores[out_idx], NEG_INF), out_idx, out_valid
+
+
+def soft_nms(boxes, scores, max_out, thr=0.3, sigma=0.5, score_thresh=0.001,
+             method="gaussian", valid=None, legacy_plus_one=True):
+    """Soft-NMS (linear / gaussian decay), mirrors cpu_soft_nms in the
+    reference operator_py/cython/cpu_nms.pyx.
+
+    Sequential: at each of max_out steps pick the current argmax, decay the
+    rest. Returns (boxes [max_out,4], scores [max_out], idx [max_out], valid).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    cur = jnp.where(valid, scores, NEG_INF)
+
+    def step(cur_scores, _):
+        i = jnp.argmax(cur_scores)
+        s_i = cur_scores[i]
+        box_i = boxes[i]
+        iou = bbox_overlaps(box_i[None, :], boxes, legacy_plus_one)[0]
+        if method == "linear":
+            decay = jnp.where(iou > thr, 1.0 - iou, 1.0)
+        else:
+            decay = jnp.exp(-(iou * iou) / sigma)
+        new_scores = cur_scores * decay
+        # remove the selected box from the pool
+        new_scores = new_scores.at[i].set(NEG_INF)
+        new_scores = jnp.where(new_scores < jnp.log1p(0.0) + score_thresh,
+                               jnp.where(new_scores <= NEG_INF / 2, NEG_INF, new_scores),
+                               new_scores)
+        return new_scores, (box_i, s_i, i)
+
+    _, (out_boxes, out_scores, out_idx) = jax.lax.scan(
+        step, cur, None, length=max_out)
+    out_valid = out_scores > score_thresh
+    out_idx = jnp.where(out_valid, out_idx, -1)
+    out_boxes = jnp.where(out_valid[:, None], out_boxes, 0.0)
+    out_scores = jnp.where(out_valid, out_scores, NEG_INF)
+    return out_boxes, out_scores, out_idx, out_valid

@@ -1,0 +1,81 @@
+"""On-device RPN anchor target assignment (jit-compatible, statically shaped).
+
+Re-implements the semantics of the reference's host-side AnchorTarget2D
+(core/detection_input.py:353-565) and PyramidAnchorTarget2D
+(models/FPN/input.py:55-148) as pure device code, so target generation runs
+inside the jitted train step instead of loader worker threads — eliminating
+the reference's biggest host-side hot loop.
+
+Anchors are a host-side constant grid [N, 4] (ops/anchors.py). gt boxes come
+padded to [max_num_gt, 5] with class -1 rows (reference padding convention,
+core/detection_input.py:310-311). Outputs are flat over the anchor axis in
+(y, x, anchor) row-major order; heads emit predictions in the same order so
+no layout transposes are needed.
+
+Includes the reference's documented "gt_argmax" quirk
+(core/detection_input.py:461-467): an anchor is positive if it attains the
+per-gt max IoU for any gt with IoU >= min_pos_thr.
+"""
+import jax
+import jax.numpy as jnp
+
+from simpledet_tpu.ops.bbox import bbox_overlaps, encode_boxes
+from simpledet_tpu.targets.sampling import subsample_labels
+
+
+def anchor_target(rng, anchors, gt_bbox, im_hw, *,
+                  allowed_border=0, neg_thr=0.3, pos_thr=0.7, min_pos_thr=0.0,
+                  image_anchor=256, fg_fraction=0.5, deterministic=False,
+                  bbox_mean=None, bbox_std=None):
+    """Single-image anchor targets.
+
+    anchors: [N, 4] constant grid. gt_bbox: [G, 5] (x1,y1,x2,y2,class), padded
+    rows have class == -1. im_hw: [2] effective (resized) image height/width.
+
+    Returns (label [N] float {-1,0,1}, reg_target [N,4], reg_weight [N,4]).
+    """
+    n = anchors.shape[0]
+    valid = ((anchors[:, 0] >= -allowed_border) &
+             (anchors[:, 1] >= -allowed_border) &
+             (anchors[:, 2] < im_hw[1] + allowed_border) &
+             (anchors[:, 3] < im_hw[0] + allowed_border))
+
+    gt_valid = gt_bbox[:, 4] != -1
+    num_gt = jnp.sum(gt_valid)
+
+    ov = bbox_overlaps(anchors, gt_bbox[:, :4])          # [N, G]
+    ov = jnp.where(gt_valid[None, :], ov, -1.0)          # mask padded gt
+    ov = jnp.where(valid[:, None], ov, -1.0)             # mask invalid anchors
+
+    max_ov = jnp.max(ov, axis=1)
+    arg_ov = jnp.argmax(ov, axis=1)
+    gt_max = jnp.max(ov, axis=0)                         # [G]
+
+    # positive: attains per-gt max (reference quirk), or IoU >= pos_thr
+    is_gt_best = jnp.any((ov == gt_max[None, :]) & (ov >= min_pos_thr)
+                         & gt_valid[None, :], axis=1)
+    label = jnp.full((n,), -1.0)
+    label = jnp.where(max_ov < neg_thr, 0.0, label)
+    label = jnp.where(is_gt_best, 1.0, label)
+    label = jnp.where(max_ov >= pos_thr, 1.0, label)
+    # no gt in image -> everything valid is background
+    label = jnp.where(num_gt == 0, 0.0, label)
+    label = jnp.where(valid, label, -1.0)
+
+    label = subsample_labels(rng, label, image_anchor, fg_fraction,
+                             deterministic=deterministic)
+
+    matched_gt = gt_bbox[arg_ov, :4]
+    target = encode_boxes(anchors, matched_gt, means=bbox_mean, stds=bbox_std)
+    fg = (label == 1.0)[:, None]
+    target = jnp.where(fg & (num_gt > 0), target, 0.0)
+    weight = jnp.where(fg & (num_gt > 0), 1.0, 0.0) * jnp.ones((n, 4))
+    return label, target, weight
+
+
+def batched_anchor_target(rng, anchors, gt_bbox, im_hw, **kw):
+    """vmapped over the image axis. gt_bbox: [B, G, 5], im_hw: [B, 2]."""
+    b = gt_bbox.shape[0]
+    rngs = jax.random.split(rng, b)
+    fn = lambda r, g, hw: anchor_target(r, anchors, g, hw, **kw)
+    return jax.vmap(fn)(rngs, gt_bbox, im_hw)

@@ -1,0 +1,65 @@
+"""Static-shape random subsampling primitives.
+
+The reference subsamples fg/bg index sets with np.random.choice /
+random_shuffle on the host (core/detection_input.py:480-495,
+operator_cxx/proposal_target.cc SampleROI). On TPU we keep everything
+on-device and statically shaped: "choose k of the set bits, at random" is
+expressed as a randomized top-k over masked priorities.
+
+deterministic=True reproduces the reference's DEBUG mode
+(core/detection_input.py:485-494: disable the index prefix, i.e. keep the
+highest-indexed candidates), used for oracle parity tests.
+"""
+import jax
+import jax.numpy as jnp
+
+
+def _priorities(rng, n, deterministic):
+    if deterministic:
+        # keep highest indices (reference DEBUG disables the prefix)
+        return jnp.arange(n, dtype=jnp.float32)
+    return jax.random.uniform(rng, (n,))
+
+
+def random_topk_mask(rng, mask, k, deterministic=False):
+    """Select min(k, sum(mask)) elements of `mask` uniformly at random.
+
+    Returns a boolean mask of the selected elements (k must be static).
+    """
+    n = mask.shape[0]
+    prio = jnp.where(mask, _priorities(rng, n, deterministic), -jnp.inf)
+    _, idx = jax.lax.top_k(prio, k)
+    sel = jnp.zeros((n,), bool).at[idx].set(True)
+    return sel & mask
+
+
+def random_rank(rng, mask, deterministic=False):
+    """Random rank (0 = first chosen) of each set element of mask; unset
+    elements get rank n. Enables dynamic-k selection: keep = rank < k."""
+    n = mask.shape[0]
+    prio = jnp.where(mask, _priorities(rng, n, deterministic), -jnp.inf)
+    order = jnp.argsort(-prio)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return jnp.where(mask, rank, n)
+
+
+def subsample_labels(rng, label, num_sample, fg_fraction, deterministic=False):
+    """Reference _sample_anchor semantics (core/detection_input.py:480-495):
+
+    label: [N] with {1: fg, 0: bg, -1: ignore}. Keep at most
+    num_fg = fg_fraction*num_sample positives (random subset; excess -> -1),
+    then at most num_sample - kept_fg backgrounds. Returns new label.
+    """
+    rng_fg, rng_bg = jax.random.split(rng)
+    num_fg = int(fg_fraction * num_sample)
+
+    fg_mask = label == 1
+    keep_fg = random_topk_mask(rng_fg, fg_mask, num_fg, deterministic)
+    label = jnp.where(fg_mask & ~keep_fg, -1.0, label)
+
+    n_fg_kept = jnp.sum(label == 1)
+    num_bg = num_sample - n_fg_kept
+    bg_mask = label == 0
+    bg_rank = random_rank(rng_bg, bg_mask, deterministic)
+    label = jnp.where(bg_mask & (bg_rank >= num_bg), -1.0, label)
+    return label

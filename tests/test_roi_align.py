@@ -1,0 +1,113 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from simpledet_tpu.kernels.roi_align import multilevel_roi_align, roi_align
+from simpledet_tpu.targets.fpn_assign import fpn_roi_level
+
+
+def np_roi_align(feat_hwc, rois, spatial_scale, out_size, mode="max"):
+    """Oracle: direct transcription of the reference ROIAlign_v2 math
+    (operator_cxx/contrib/roi_align_v2-inl.h:61-154)."""
+    h, w, c = feat_hwc.shape
+    r = rois.shape[0]
+    out = np.zeros((r, out_size, out_size, c), np.float64)
+    for n in range(r):
+        x1, y1, x2, y2 = rois[n] * spatial_scale
+        bin_h = (y2 - y1) / out_size
+        bin_w = (x2 - x1) / out_size
+        for ph in range(out_size):
+            for pw in range(out_size):
+                hs = min(max(ph * bin_h + y1, 0), h - 1)
+                he = min(max((ph + 1) * bin_h + y1, 0), h - 1)
+                ws = min(max(pw * bin_w + x1, 0), w - 1)
+                we = min(max((pw + 1) * bin_w + x1, 0), w - 1)
+                if he <= hs or we <= ws:
+                    continue
+                vals = []
+                for fy in (1 / 3, 2 / 3):
+                    for fx in (1 / 3, 2 / 3):
+                        y = hs + (he - hs) * fy
+                        x = ws + (we - ws) * fx
+                        yl = min(max(int(np.floor(y)), 0), h - 1)
+                        yh = min(max(int(np.ceil(y)), 0), h - 1)
+                        xl = min(max(int(np.floor(x)), 0), w - 1)
+                        xh = min(max(int(np.ceil(x)), 0), w - 1)
+                        a = 0.5 if yl == yh else (y - yl) / (yh - yl)
+                        b = 0.5 if xl == xh else (x - xl) / (xh - xl)
+                        vals.append((1 - a) * (1 - b) * feat_hwc[yl, xl]
+                                    + a * (1 - b) * feat_hwc[yh, xl]
+                                    + (1 - a) * b * feat_hwc[yl, xh]
+                                    + a * b * feat_hwc[yh, xh])
+                vals = np.stack(vals)
+                out[n, ph, pw] = vals.max(0) if mode == "max" else vals.mean(0)
+    return out
+
+
+def test_roi_align_matches_oracle():
+    rng = np.random.RandomState(0)
+    feat = rng.randn(25, 32, 8).astype(np.float32)
+    rois = np.array([
+        [0, 0, 64, 64],
+        [10, 20, 200, 150],
+        [100, 30, 130, 90],
+        [5.5, 7.25, 90.75, 33.5],
+    ], dtype=np.float32)
+    for mode in ("max", "avg"):
+        got = np.asarray(jax.jit(
+            lambda f, r: roi_align(f, r, spatial_scale=1 / 8, out_size=7,
+                                   mode=mode))(jnp.asarray(feat), jnp.asarray(rois)))
+        want = np_roi_align(feat, rois, 1 / 8, 7, mode)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_zero_roi_is_zero():
+    feat = jnp.ones((16, 16, 4))
+    rois = jnp.zeros((2, 4))
+    out = np.asarray(roi_align(feat, rois, spatial_scale=0.25, out_size=7))
+    assert out.sum() == 0
+
+
+def test_roi_align_grad_flows():
+    feat = jnp.ones((16, 16, 4))
+    rois = jnp.asarray([[4.0, 4.0, 40.0, 40.0]])
+
+    def loss(f):
+        return roi_align(f, rois, spatial_scale=0.25, out_size=7).sum()
+
+    g = np.asarray(jax.grad(loss)(feat))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
+
+
+def test_fpn_roi_level():
+    rois = jnp.asarray([
+        [0, 0, 31, 31],        # tiny -> level 2
+        [0, 0, 223, 223],      # canonical 224 -> level 4
+        [0, 0, 1000, 1000],    # huge -> clamped level 5
+        [0, 0, 111, 111],      # 112 -> level 3
+    ], dtype=jnp.float32)
+    lvl = np.asarray(fpn_roi_level(rois))
+    assert lvl.tolist() == [2, 4, 5, 3]
+
+
+def test_multilevel_matches_per_level():
+    rng = np.random.RandomState(1)
+    c = 8
+    feats = [rng.randn(64 // (2 ** i), 80 // (2 ** i), c).astype(np.float32)
+             for i in range(4)]
+    strides = (4, 8, 16, 32)
+    rois = np.array([
+        [0, 0, 40, 40],       # level 2
+        [10, 10, 150, 150],   # level 3
+        [0, 0, 250, 220],     # level 4
+        [0, 0, 255, 255],     # level 4
+    ], dtype=np.float32)
+    got = np.asarray(jax.jit(lambda fs, r: multilevel_roi_align(
+        fs, r, strides, out_size=7))([jnp.asarray(f) for f in feats],
+                                     jnp.asarray(rois)))
+    lvl = np.asarray(fpn_roi_level(jnp.asarray(rois)))
+    for i, l in enumerate(lvl):
+        li = l - 2
+        want = np_roi_align(feats[li], rois[i:i + 1], 1.0 / strides[li], 7)
+        np.testing.assert_allclose(got[i], want[0], rtol=1e-4, atol=1e-4)
