@@ -1,0 +1,93 @@
+"""Benchmark: Faster R-CNN R50-FPN 1x train throughput on one TPU chip.
+
+Prints ONE JSON line. Baseline: the reference trains faster_r50v1_fpn_1x at
+43 img/s on 8x 1080Ti = 5.375 img/s per GPU (reference MODEL_ZOO.md:99,
+copied in BASELINE.md). We measure the same workload — batch 2 per chip,
+800x1333 padded inputs, full train step (fwd+bwd+SGD+in-graph targets) —
+on a single chip.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_GPU = 43.0 / 8.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from simpledet_tpu.core.config import load_config
+    from simpledet_tpu.core.optimizer import freeze_mask, make_optimizer
+    from simpledet_tpu.core.schedule import warmup_multifactor
+    from simpledet_tpu.core.train import TrainState, make_train_step
+
+    cfg = load_config("config/faster_r50v1_fpn_1x.py")
+    (General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
+     ModelParam, OptimizeParam, TestParam, transform, data_name, label_name,
+     metric_list) = cfg.get_config(is_train=True)
+    model = ModelParam.train_symbol
+
+    batch_image = 2
+    h, w = 800, 1333
+    rng = np.random.RandomState(0)
+    gt = np.full((batch_image, 100, 5), -1, np.float32)
+    for b in range(batch_image):
+        for i in range(20):
+            x1, y1 = rng.uniform(0, 600, 2)
+            gt[b, i] = [x1, y1, x1 + rng.uniform(30, 300),
+                        y1 + rng.uniform(30, 200), rng.randint(1, 81)]
+    batch = {
+        "data": jnp.asarray(rng.randn(batch_image, h, w, 3), jnp.float32),
+        "im_info": jnp.asarray(
+            np.tile(np.array([[h, w, 1.0]], np.float32), (batch_image, 1))),
+        "gt_bbox": jnp.asarray(gt),
+    }
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch["data"][:1], batch["im_info"][:1], batch["gt_bbox"][:1],
+        mode="train")
+    params = variables["params"]
+
+    sched = warmup_multifactor(OptimizeParam.optimizer.lr,
+                               OptimizeParam.schedule.lr_iter,
+                               warmup_lr=OptimizeParam.warmup.lr,
+                               warmup_iter=OptimizeParam.warmup.iter)
+    mask = freeze_mask(params, ModelParam.pretrain.fixed_param)
+    tx = make_optimizer(sched, momentum=OptimizeParam.optimizer.momentum,
+                        wd=OptimizeParam.optimizer.wd, trainable_mask=mask)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    step = make_train_step(model, mesh=None, donate=False)
+    key = jax.random.PRNGKey(7)
+
+    # NOTE: device_get, not block_until_ready — the axon tunnel's
+    # block_until_ready can return before execution finishes; a host
+    # transfer cannot. Iterations chain through `state`, so fetching the
+    # last losses forces the whole timed sequence while still allowing
+    # step-level pipelining.
+    # warmup (compile + 2 steps)
+    for i in range(3):
+        state, losses, _ = step(state, batch, jax.random.fold_in(key, i))
+    jax.device_get(losses)
+
+    n_iter = 10
+    t0 = time.time()
+    for i in range(n_iter):
+        state, losses, _ = step(state, batch, jax.random.fold_in(key, 100 + i))
+    jax.device_get(losses)
+    dt = time.time() - t0
+
+    img_per_sec = batch_image * n_iter / dt
+    print(json.dumps({
+        "metric": "faster_r50v1_fpn_1x train throughput (1 chip, batch 2, 800x1333)",
+        "value": round(img_per_sec, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

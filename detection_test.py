@@ -1,0 +1,143 @@
+"""Eval CLI: python detection_test.py --config config/<experiment>.py
+
+The TPU rewrite of the reference detection_test.py: jitted test forward on
+device, batched per-class NMS on device (replacing the host NMS pool
+:224-267), detections rescaled to original image coords, COCO-protocol
+evaluation via the in-repo evaluator.
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def test_net(config_path, max_images=None):
+    import jax
+    import jax.numpy as jnp
+
+    from simpledet_tpu.core.checkpoint import (get_latest_ckpt_epoch,
+                                               load_checkpoint)
+    from simpledet_tpu.core.config import load_config
+    from simpledet_tpu.data.loader import Loader
+    from simpledet_tpu.data.roidb import load_roidb
+    from simpledet_tpu.eval.coco_eval import COCOEval
+    from simpledet_tpu.eval.postprocess import per_class_nms
+    from simpledet_tpu.utils.logger import config_logger
+
+    from simpledet_tpu.core.config import patch_all
+
+    cfg = load_config(config_path)
+    (General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
+     ModelParam, OptimizeParam, TestParam, transform, data_name, label_name,
+     metric_list) = cfg.get_config(is_train=False)
+    (General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
+     ModelParam, OptimizeParam, TestParam) = patch_all(
+        General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
+        ModelParam, OptimizeParam, TestParam)
+
+    exp_dir = os.path.join("experiments", General.name)
+    logger = config_logger(exp_dir)
+
+    roidb = load_roidb(DatasetParam.image_set,
+                       DatasetParam.cache_dir or "data/cache")
+    roidb = TestParam.process_roidb(roidb)
+    if max_images:
+        roidb = roidb[:max_images]
+    for i, r in enumerate(roidb):
+        r["rec_id"] = i
+    logger.info(f"evaluating {len(roidb)} images")
+
+    model = ModelParam.test_symbol
+    sample0_loader = Loader([dict(roidb[0])], transform, 1, shuffle=False,
+                            num_workers=0, keys=("data", "im_info"),
+                            aspect_grouping=False)
+    sample0 = next(iter(sample0_loader))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.asarray(sample0["data"]), jnp.asarray(sample0["im_info"]),
+        mode="test")
+    params = variables["params"]
+
+    prefix = TestParam.model.prefix
+    epoch = TestParam.model.epoch or get_latest_ckpt_epoch(prefix)
+    if epoch is not None and os.path.exists(f"{prefix}-{epoch:04d}.params"):
+        params, _ = load_checkpoint(prefix, epoch, params)
+        logger.info(f"loaded {prefix}-{epoch:04d}.params")
+    else:
+        logger.info("WARNING: no checkpoint found, using random params")
+
+    fwd = jax.jit(lambda p, d, ii: model.apply({"params": p}, d, ii,
+                                               mode="test"))
+
+    loader = Loader(roidb, transform, 1, shuffle=False, num_workers=4,
+                    keys=("data", "im_info", "im_id"), pad_last=False,
+                    aspect_grouping=True)
+
+    nms_type = "softnms" if (TestParam.nms.type or "nms") == "softnms" \
+        else "nms"
+    detections = []
+    t0 = time.time()
+    n_done = 0
+    for batch in loader:
+        out = fwd(params, jnp.asarray(batch["data"]),
+                  jnp.asarray(batch["im_info"]))
+        boxes, scores, classes, valid = jax.vmap(
+            lambda s, b: per_class_nms(
+                s, b, score_thr=TestParam.min_det_score or 0.05,
+                nms_thr=TestParam.nms.thr or 0.5,
+                max_det=TestParam.max_det_per_image or 100,
+                nms_type=nms_type))(out["cls_score"], out["bbox_xyxy"])
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        classes = np.asarray(classes)
+        valid = np.asarray(valid)
+        for b in range(len(batch["im_id"])):
+            if not batch["valid"][b]:
+                continue
+            scale = float(batch["im_info"][b][2])
+            im_id = int(batch["im_id"][b])
+            for j in range(valid.shape[1]):
+                if not valid[b, j]:
+                    continue
+                x1, y1, x2, y2 = boxes[b, j] / scale
+                detections.append({
+                    "image_id": im_id,
+                    "category_id": int(classes[b, j]),
+                    "bbox": [float(x1), float(y1),
+                             float(x2 - x1 + 1), float(y2 - y1 + 1)],
+                    "score": float(scores[b, j]),
+                })
+            n_done += 1
+    logger.info(f"inference done: {n_done} images in {time.time()-t0:.1f}s "
+                f"({n_done / max(time.time()-t0, 1e-9):.2f} img/s)")
+
+    detections = TestParam.process_output(detections, None)
+    result_json = os.path.join(exp_dir, DatasetParam.image_set[0]
+                               + "_result.json")
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(result_json, "w") as f:
+        json.dump(detections, f)
+    logger.info(f"wrote {result_json}")
+
+    ann = TestParam.coco.annotation
+    if ann and os.path.exists(ann):
+        evaluator = COCOEval(ann, iou_type="bbox")
+        # remap contiguous category ids back to COCO ids
+        cat_ids = evaluator.cat_ids
+        for d in detections:
+            d["category_id"] = cat_ids[d["category_id"] - 1]
+        summary = evaluator.evaluate(detections)
+        logger.info(str(summary))
+        return summary
+    logger.info("no annotation json; skipping COCO eval")
+    return None
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--max-images", type=int, default=None)
+    args = ap.parse_args()
+    test_net(args.config, args.max_images)

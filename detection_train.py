@@ -1,0 +1,146 @@
+"""Train CLI: python detection_train.py --config config/<experiment>.py
+
+The TPU rewrite of the reference detection_train.py:19-294: config drives
+everything; the loop is a jit-compiled train step over the device mesh with
+in-graph target generation, Speedometer logging, per-epoch checkpoints by
+process 0, and pretrain bootstrapping with allow_missing.
+"""
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def train_net(config_path, max_iter_override=None):
+    import jax
+    import jax.numpy as jnp
+
+    from simpledet_tpu.core.checkpoint import (get_latest_ckpt_epoch,
+                                               load_checkpoint, load_pretrain,
+                                               save_checkpoint)
+    from simpledet_tpu.core.config import load_config
+    from simpledet_tpu.core.metrics import CompositeMetric
+    from simpledet_tpu.core.optimizer import freeze_mask, make_optimizer
+    from simpledet_tpu.core.schedule import warmup_multifactor
+    from simpledet_tpu.core.train import TrainState, make_train_step
+    from simpledet_tpu.data.loader import Loader
+    from simpledet_tpu.data.roidb import append_flipped, load_roidb
+    from simpledet_tpu.parallel.mesh import make_mesh, shard_batch
+    from simpledet_tpu.utils.logger import Speedometer, config_logger
+
+    from simpledet_tpu.core.config import patch_all
+
+    cfg = load_config(config_path)
+    (General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
+     ModelParam, OptimizeParam, TestParam, transform, data_name, label_name,
+     metric_list) = cfg.get_config(is_train=True)
+    (General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
+     ModelParam, OptimizeParam, TestParam) = patch_all(
+        General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
+        ModelParam, OptimizeParam, TestParam)
+
+    exp_dir = os.path.join("experiments", General.name)
+    logger = config_logger(exp_dir)
+    logger.info(f"config: {config_path}")
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    batch_per_dev = General.batch_image
+    global_batch = batch_per_dev * n_dev
+    logger.info(f"{n_dev} devices, global batch {global_batch}")
+
+    # data ------------------------------------------------------------------
+    roidb = load_roidb(DatasetParam.image_set,
+                       DatasetParam.cache_dir or "data/cache")
+    roidb = [r for r in roidb if len(r.get("gt_bbox", []))]
+    roidb = append_flipped(roidb)
+    logger.info(f"{len(roidb)} records (with flips)")
+    loader = Loader(roidb, transform, global_batch, shuffle=True,
+                    num_workers=General.loader_worker or 8,
+                    rank=jax.process_index(), num_ranks=jax.process_count(),
+                    keys=("data", "im_info", "gt_bbox"))
+
+    # model -----------------------------------------------------------------
+    model = ModelParam.train_symbol
+    rng = jax.random.PRNGKey(0 if not ModelParam.random else int(time.time()))
+    sample0 = next(iter(Loader(roidb[:global_batch], transform, 1,
+                               shuffle=False, num_workers=0,
+                               keys=("data", "im_info", "gt_bbox"))))
+    variables = model.init(
+        {"params": rng, "sampling": jax.random.fold_in(rng, 1)},
+        jnp.asarray(sample0["data"]), jnp.asarray(sample0["im_info"]),
+        jnp.asarray(sample0["gt_bbox"]), mode="train")
+    params = variables["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info(f"{n_params / 1e6:.1f}M params")
+
+    begin_epoch = OptimizeParam.schedule.begin_epoch
+    end_epoch = OptimizeParam.schedule.end_epoch
+    prefix = os.path.join(exp_dir, "checkpoint")
+    if begin_epoch > 0:
+        params, _ = load_checkpoint(prefix, begin_epoch, params)
+        logger.info(f"resumed from epoch {begin_epoch}")
+    elif not ModelParam.from_scratch:
+        try:
+            params, n_hit = load_pretrain(params, ModelParam.pretrain.prefix,
+                                          ModelParam.pretrain.epoch or 0)
+            logger.info(f"loaded pretrain ({n_hit} tensors)")
+        except FileNotFoundError:
+            logger.info("no pretrain found, training from random init")
+
+    # optimizer --------------------------------------------------------------
+    sched = warmup_multifactor(
+        OptimizeParam.optimizer.lr, OptimizeParam.schedule.lr_iter or [],
+        warmup_type=OptimizeParam.warmup.type or "gradual",
+        warmup_lr=OptimizeParam.warmup.lr,
+        warmup_iter=OptimizeParam.warmup.iter or 0)
+    mask = freeze_mask(params, ModelParam.pretrain.fixed_param or [],
+                       ModelParam.pretrain.excluded_param)
+    tx = make_optimizer(sched, momentum=OptimizeParam.optimizer.momentum or 0.9,
+                        wd=OptimizeParam.optimizer.wd or 0.0,
+                        clip_gradient=OptimizeParam.optimizer.clip_gradient,
+                        trainable_mask=mask)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    mesh = make_mesh(devices)
+    step_fn = make_train_step(model, mesh=mesh)
+    metrics = CompositeMetric(metric_list)
+    speedo = Speedometer(global_batch, General.log_frequency or 10, logger)
+
+    iter_per_epoch = (OptimizeParam.schedule.iter_per_epoch
+                      or max(len(loader), 1))
+    step_rng = jax.random.PRNGKey(42)
+    n_iter = 0
+    for epoch in range(begin_epoch, end_epoch):
+        logger.info(f"starting epoch {epoch}")
+        for batch in loader:
+            batch.pop("valid", None)
+            dev_batch = shard_batch(batch, mesh)
+            state, losses, aux = step_fn(state, dev_batch,
+                                         jax.random.fold_in(step_rng, n_iter))
+            n_iter += 1
+            if n_iter % (General.log_frequency or 10) == 0:
+                aux_host = jax.tree.map(np.asarray, aux)
+                aux_host.update(jax.tree.map(np.asarray, losses))
+                metrics.update(aux_host)
+                speedo(epoch, n_iter, metrics, lr=float(sched(n_iter)))
+            else:
+                speedo(epoch, n_iter)
+            if max_iter_override and n_iter >= max_iter_override:
+                break
+        save_checkpoint(prefix, epoch + 1, state.params, state.opt_state)
+        logger.info(f"saved checkpoint epoch {epoch + 1}")
+        if max_iter_override and n_iter >= max_iter_override:
+            break
+    logger.info("training done")
+    return state
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--max-iter", type=int, default=None,
+                    help="stop early (smoke tests)")
+    args = ap.parse_args()
+    train_net(args.config, args.max_iter)

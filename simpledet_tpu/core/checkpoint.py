@@ -1,0 +1,90 @@
+"""Checkpoint I/O — experiments/<name>/checkpoint-%04d layout.
+
+Mirrors the reference format semantics (utils/load_model.py:18-39,
+core/detection_module.py:185-205): per-epoch params (+ optimizer state)
+written by process 0 only; pretrain bootstrapping with allow_missing keeps
+fresh heads at their random init (detection_train.py:132-135).
+Storage is flax msgpack (single file, no sharding needed at detection scale).
+"""
+import os
+import pickle
+
+import flax
+import jax
+import numpy as np
+
+
+def _params_path(prefix, epoch):
+    return f"{prefix}-{epoch:04d}.params"
+
+
+def _states_path(prefix, epoch):
+    return f"{prefix}-{epoch:04d}.states"
+
+
+def save_checkpoint(prefix, epoch, params, opt_state=None):
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    params = jax.tree.map(np.asarray, params)
+    with open(_params_path(prefix, epoch), "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+    if opt_state is not None:
+        with open(_states_path(prefix, epoch), "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, opt_state), f)
+
+
+def load_checkpoint(prefix, epoch, params_template):
+    with open(_params_path(prefix, epoch), "rb") as f:
+        params = flax.serialization.from_bytes(params_template, f.read())
+    opt_state = None
+    sp = _states_path(prefix, epoch)
+    if os.path.exists(sp):
+        with open(sp, "rb") as f:
+            opt_state = pickle.load(f)
+    return params, opt_state
+
+
+def get_latest_ckpt_epoch(prefix):
+    d = os.path.dirname(prefix) or "."
+    base = os.path.basename(prefix)
+    best = None
+    if os.path.isdir(d):
+        for fn in os.listdir(d):
+            if fn.startswith(base + "-") and fn.endswith(".params"):
+                try:
+                    e = int(fn[len(base) + 1:-len(".params")])
+                    best = e if best is None else max(best, e)
+                except ValueError:
+                    pass
+    return best
+
+
+def load_pretrain(params, prefix, epoch=0, allow_missing=True):
+    """Merge a pretrain param tree into `params` by matching paths; missing
+    entries keep their fresh init (allow_missing semantics). Accepts either
+    our .params format or a flat npz of 'a/b/c' -> array."""
+    flat = flax.traverse_util.flatten_dict(params)
+    loaded = {}
+    p_params = _params_path(prefix, epoch)
+    if os.path.exists(p_params):
+        with open(p_params, "rb") as f:
+            raw = flax.serialization.msgpack_restore(f.read())
+        loaded = flax.traverse_util.flatten_dict(raw)
+    elif os.path.exists(prefix + ".npz"):
+        npz = np.load(prefix + ".npz")
+        loaded = {tuple(k.split("/")): npz[k] for k in npz.files}
+    else:
+        raise FileNotFoundError(f"no pretrain at {prefix}")
+
+    n_hit = 0
+    out = {}
+    for path, val in flat.items():
+        if path in loaded and loaded[path].shape == val.shape:
+            out[path] = np.asarray(loaded[path], val.dtype)
+            n_hit += 1
+        else:
+            if not allow_missing and path in loaded:
+                raise ValueError(f"shape mismatch at {path}")
+            out[path] = val
+    return flax.traverse_util.unflatten_dict(out), n_hit

@@ -52,6 +52,13 @@ def patch_config_as_nothrow(cfg):
     return cfg
 
 
+def patch_all(*cfgs):
+    """Nothrow-patch every config class (entry points call this on the
+    get_config tuple, like the reference's per-class patching)."""
+    return tuple(patch_config_as_nothrow(c) if isinstance(c, type) else c
+                 for c in cfgs)
+
+
 def load_config(path):
     """Import a config file by path (reference detection_train.py:301-307
     style: `--config config/foo.py`). Returns the module."""

@@ -1,0 +1,165 @@
+"""Host-side augmentation pipeline — composable record transforms.
+
+Mirrors the reference DetectionAugmentation classes
+(core/detection_input.py:14-351): each transform mutates a record dict.
+Records carry numpy arrays; images stay HWC (NHWC on device — no
+ConvertImageFromHwcToChw needed; a no-op shim is provided for ported
+configs).
+
+Record keys: image [H,W,3] float32 RGB, gt_bbox [G,5] (xyxy+class, -1
+padded), im_info [h', w', scale], h, w, im_id, rec_id, flipped.
+"""
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class DetectionAugmentation:
+    def apply(self, record):
+        raise NotImplementedError
+
+
+class ReadRoiRecord(DetectionAugmentation):
+    """cv2.imread BGR -> RGB float32 (core/detection_input.py:22-45); also
+    materializes gt arrays from the roidb lists."""
+
+    def __init__(self, gt_select=None):
+        self.gt_select = gt_select
+
+    def apply(self, r):
+        img = cv2.imread(r["image_url"], cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"cannot read {r['image_url']}")
+        r["image"] = img[:, :, ::-1].astype(np.float32)
+        r["gt_bbox"] = np.asarray(r.get("gt_bbox", []),
+                                  np.float32).reshape(-1, 4)
+        r["gt_class"] = np.asarray(r.get("gt_class", []),
+                                   np.float32).reshape(-1)
+        return r
+
+
+class Norm2DImage(DetectionAugmentation):
+    def __init__(self, pNorm):
+        self.mean = np.asarray(pNorm.mean, np.float32)
+        self.std = np.asarray(pNorm.std, np.float32)
+
+    def apply(self, r):
+        r["image"] = (r["image"] - self.mean) / self.std
+        return r
+
+
+class Resize2DImageBbox(DetectionAugmentation):
+    """Aspect-preserving short/long-side resize; writes im_info=[h',w',scale]
+    (core/detection_input.py:69-103) and scales gt boxes."""
+
+    def __init__(self, pResize):
+        self.short = pResize.short
+        self.long = pResize.long
+
+    def apply(self, r):
+        img = r["image"]
+        h, w = img.shape[:2]
+        scale = min(self.short / min(h, w), self.long / max(h, w))
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        r["image"] = cv2.resize(img, (nw, nh),
+                                interpolation=cv2.INTER_LINEAR)
+        if len(r["gt_bbox"]):
+            r["gt_bbox"] = r["gt_bbox"] * scale
+        r["im_info"] = np.array([nh, nw, scale], np.float32)
+        return r
+
+
+class RandResize2DImageBbox(DetectionAugmentation):
+    """Multi-scale train resize: pick a (short, long) pair per record
+    (core/detection_input.py:158-181)."""
+
+    def __init__(self, pResize):
+        self.scales = list(zip(pResize.short, pResize.long))
+
+    def apply(self, r):
+        short, long_ = self.scales[np.random.randint(len(self.scales))]
+        img = r["image"]
+        h, w = img.shape[:2]
+        scale = min(short / min(h, w), long_ / max(h, w))
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        r["image"] = cv2.resize(img, (nw, nh),
+                                interpolation=cv2.INTER_LINEAR)
+        if len(r["gt_bbox"]):
+            r["gt_bbox"] = r["gt_bbox"] * scale
+        r["im_info"] = np.array([nh, nw, scale], np.float32)
+        return r
+
+
+class Flip2DImageBbox(DetectionAugmentation):
+    """Horizontal flip when record['flipped'] (core/detection_input.py:184-205)."""
+
+    def apply(self, r):
+        if r.get("flipped"):
+            img = r["image"]
+            w = img.shape[1]
+            r["image"] = img[:, ::-1]
+            if len(r["gt_bbox"]):
+                bb = r["gt_bbox"].copy()
+                x1 = bb[:, 0].copy()
+                bb[:, 0] = w - 1 - bb[:, 2]
+                bb[:, 2] = w - 1 - x1
+                r["gt_bbox"] = bb
+        return r
+
+
+class Pad2DImageBbox(DetectionAugmentation):
+    """Pad image to the fixed batch shape — (long, short) or (short, long)
+    by orientation — and gt to max_num_gt with -1
+    (core/detection_input.py:285-315). Appends class to gt_bbox column 4."""
+
+    def __init__(self, pPad):
+        self.short = pPad.short
+        self.long = pPad.long
+        self.max_num_gt = pPad.max_num_gt
+
+    def apply(self, r):
+        img = r["image"]
+        h, w = img.shape[:2]
+        if h >= w:
+            ph, pw = self.long, self.short
+        else:
+            ph, pw = self.short, self.long
+        out = np.zeros((ph, pw, 3), img.dtype)
+        out[:h, :w] = img
+        r["image"] = out
+
+        gt = np.full((self.max_num_gt, 5), -1, np.float32)
+        n = min(len(r["gt_bbox"]), self.max_num_gt)
+        if n:
+            gt[:n, :4] = r["gt_bbox"][:n]
+            gt[:n, 4] = r["gt_class"][:n]
+        r["gt_bbox"] = gt
+        return r
+
+
+class ConvertImageFromHwcToChw(DetectionAugmentation):
+    """No-op: TPU pipeline is NHWC end-to-end. Kept so reference configs
+    port unchanged."""
+
+    def apply(self, r):
+        return r
+
+
+class RenameRecord(DetectionAugmentation):
+    def __init__(self, mapping):
+        self.mapping = mapping
+
+    def apply(self, r):
+        for old, new in self.mapping.items():
+            if old in r:
+                r[new] = r.pop(old)
+        return r
+
+
+def apply_transforms(record, transforms):
+    for t in transforms:
+        t.apply(record)
+    return record
