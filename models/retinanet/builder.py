@@ -1,0 +1,10 @@
+"""Compat shim: the reference's `models.retinanet.builder` import surface,
+backed by simpledet_tpu (reference models/retinanet/builder.py)."""
+from simpledet_tpu.dsl import (  # noqa: F401
+    RetinaNet,
+    RetinaNetHead,
+    RetinaNetNeck,
+    MSRAResNet50V1FPN,
+    MSRAResNet101V1FPN,
+    ResNet50V1bFPN as MSRAResNetV1bFPN,
+)

@@ -169,6 +169,51 @@ class RPN(FasterRcnn):
     pass
 
 
+class RetinaNetNeck:
+    def __init__(self, pNeck):
+        from simpledet_tpu.models import retinanet as retina_mod
+        p = patch_config_as_nothrow(pNeck)
+        self.p = p
+        self.module = retina_mod.RetinaNetNeck(dtype=_dtype(p), name="neck")
+
+
+class RetinaNetNeckWithBN(RetinaNetNeck):
+    """BN-normalized retina neck (models/NASFPN/builder.py RetinaNetNeckWithBN)."""
+
+    def __init__(self, pNeck):
+        from simpledet_tpu.models import retinanet as retina_mod
+        p = patch_config_as_nothrow(pNeck)
+        self.p = p
+        self.module = retina_mod.RetinaNetNeck(dtype=_dtype(p), norm=_norm(p),
+                                               name="neck")
+
+
+class RetinaNetHead:
+    def __init__(self, pRpn):
+        from simpledet_tpu.models import retinanet as retina_mod
+        p = patch_config_as_nothrow(pRpn)
+        p.dtype = _dtype(p)
+        self.p = p
+        self.impl = retina_mod.RetinaNetHead(p)
+
+
+class RetinaNet:
+    """Single-stage detector singleton
+    (reference models/retinanet/builder.py:10-38)."""
+
+    @staticmethod
+    def _assemble(backbone, neck, head):
+        from simpledet_tpu.models.retinanet import RetinaNet as RetinaModule
+        return RetinaModule(backbone=backbone.module, neck=neck.module,
+                            head_module=head.impl.module, head=head.impl)
+
+    def get_train_symbol(self, backbone, neck, head):
+        return self._assemble(backbone, neck, head)
+
+    def get_test_symbol(self, backbone, neck, head):
+        return self._assemble(backbone, neck, head)
+
+
 def add_anchor_to_arg(*args, **kw):
     """No-op: anchors are constants folded into the jitted graph, not
     checkpoint weights (reference symbol/builder.py:904-938)."""
