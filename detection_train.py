@@ -56,21 +56,25 @@ def train_net(config_path, max_iter_override=None):
     roidb = [r for r in roidb if len(r.get("gt_bbox", []))]
     roidb = append_flipped(roidb)
     logger.info(f"{len(roidb)} records (with flips)")
+    # batch keys: data + whatever labels the config declares (e.g. gt_poly)
+    keys = tuple(dict.fromkeys(
+        ["data", "im_info", "gt_bbox"] + list(label_name or [])))
     loader = Loader(roidb, transform, global_batch, shuffle=True,
                     num_workers=General.loader_worker or 8,
                     rank=jax.process_index(), num_ranks=jax.process_count(),
-                    keys=("data", "im_info", "gt_bbox"))
+                    keys=keys)
 
     # model -----------------------------------------------------------------
     model = ModelParam.train_symbol
     rng = jax.random.PRNGKey(0 if not ModelParam.random else int(time.time()))
     sample0 = next(iter(Loader(roidb[:global_batch], transform, 1,
-                               shuffle=False, num_workers=0,
-                               keys=("data", "im_info", "gt_bbox"))))
+                               shuffle=False, num_workers=0, keys=keys)))
+    extra0 = {k: jnp.asarray(v) for k, v in sample0.items()
+              if k not in ("data", "im_info", "gt_bbox", "valid")}
     variables = model.init(
         {"params": rng, "sampling": jax.random.fold_in(rng, 1)},
         jnp.asarray(sample0["data"]), jnp.asarray(sample0["im_info"]),
-        jnp.asarray(sample0["gt_bbox"]), mode="train")
+        jnp.asarray(sample0["gt_bbox"]), mode="train", **extra0)
     params = variables["params"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"{n_params / 1e6:.1f}M params")

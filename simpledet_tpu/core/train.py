@@ -40,9 +40,12 @@ def make_train_step(model, mesh=None, donate=True):
 
     def step(state, batch, rng):
         def loss_fn(params):
+            extra = {k: v for k, v in batch.items()
+                     if k not in ("data", "im_info", "gt_bbox")}
             losses, aux = state.apply_fn(
                 {"params": params}, batch["data"], batch["im_info"],
-                batch["gt_bbox"], mode="train", rngs={"sampling": rng})
+                batch["gt_bbox"], mode="train", rngs={"sampling": rng},
+                **extra)
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
             return total, (losses, aux)
 

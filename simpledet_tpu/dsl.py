@@ -169,6 +169,72 @@ class RPN(FasterRcnn):
     pass
 
 
+class MaskFPNRpnHead(FPNRpnHead):
+    """RPN head for Mask R-CNN (reference models/maskrcnn/builder.py:156);
+    the mask-aware proposal sampling lives in the detector module."""
+
+    def __init__(self, pRpn, pMask=None):
+        super().__init__(pRpn)
+        self.p_mask = patch_config_as_nothrow(pMask)
+
+
+class MaskRpnHead(MaskFPNRpnHead):
+    pass
+
+
+class MaskFasterRcnn4ConvHead:
+    def __init__(self, pBbox, pMask, pMaskRoi):
+        from simpledet_tpu.models import mask_rcnn as mask_mod
+        self.p_bbox = patch_config_as_nothrow(pBbox)
+        self.p = patch_config_as_nothrow(pMask)
+        self.p_roi = patch_config_as_nothrow(pMaskRoi)
+        self.module = mask_mod.MaskHead4Conv(
+            num_class=self.p_bbox.num_class,
+            dim_reduced=self.p.dim_reduced or 256,
+            dtype=_dtype(self.p), name="mask_head")
+
+
+class BboxPostProcessor:
+    """In-graph per-class NMS params holder (reference
+    models/maskrcnn/builder.py:66-89 BboxPostProcessor)."""
+
+    def __init__(self, pTest):
+        self.p = patch_config_as_nothrow(pTest)
+
+
+class MaskFasterRcnn:
+    """Detector singleton (reference models/maskrcnn/builder.py:14-64)."""
+
+    @staticmethod
+    def _assemble(backbone, neck, rpn_head, roi_extractor,
+                  mask_roi_extractor, bbox_head, mask_head,
+                  bbox_post_processor=None):
+        from simpledet_tpu.models.mask_rcnn import MaskFasterRcnn as Module
+        return Module(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            bbox_head=bbox_head.module, p_rpn=rpn_head.p,
+            p_roi=roi_extractor.p, p_bbox=bbox_head.p,
+            mask_head=mask_head.module, p_mask=mask_head.p,
+            p_mask_roi=mask_roi_extractor.p,
+            p_test=bbox_post_processor.p if bbox_post_processor else None)
+
+    def get_train_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                         mask_roi_extractor, bbox_head, mask_head):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              mask_roi_extractor, bbox_head, mask_head)
+
+    def get_test_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                        mask_roi_extractor, bbox_head, mask_head,
+                        bbox_post_processor):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              mask_roi_extractor, bbox_head, mask_head,
+                              bbox_post_processor)
+
+    def get_rpn_test_symbol(self, backbone, neck, rpn_head):
+        return FasterRcnn().get_rpn_test_symbol(backbone, neck, rpn_head)
+
+
 class RetinaNetNeck:
     def __init__(self, pNeck):
         from simpledet_tpu.models import retinanet as retina_mod

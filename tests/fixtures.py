@@ -39,18 +39,25 @@ def make_micro_dataset(root, n_images=8, seed=0):
         cv2.imwrite(path, img[:, :, ::-1])
         images.append({"id": i + 1, "file_name": f"im{i}.jpg",
                        "height": h, "width": w})
+        polys = []
         for b, c in zip(boxes, classes):
             x1, y1, x2, y2 = b
+            # rectangle polygon matching the painted box (xy interleaved)
+            poly = [float(x1), float(y1), float(x2), float(y1),
+                    float(x2), float(y2), float(x1), float(y2)]
+            polys.append([poly])
             annotations.append({
                 "id": ann_id, "image_id": i + 1, "category_id": c,
                 "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1],
                 "area": (x2 - x1 + 1) * (y2 - y1 + 1), "iscrowd": 0,
+                "segmentation": [poly],
             })
             ann_id += 1
         roidb.append({
             "image_url": path, "im_id": i + 1, "h": h, "w": w,
             "gt_class": classes,
             "gt_bbox": [[float(v) for v in b] for b in boxes],
+            "gt_poly": polys,
             "flipped": False,
         })
 
