@@ -235,6 +235,50 @@ class MaskFasterRcnn:
         return FasterRcnn().get_rpn_test_symbol(backbone, neck, rpn_head)
 
 
+class CascadeBbox2fcHead:
+    """Per-stage 2fc head (reference models/cascade_rcnn/builder.py:171-260);
+    distinct parameters per stage via the stage-suffixed module name."""
+
+    def __init__(self, pBbox):
+        p = patch_config_as_nothrow(pBbox)
+        self.p = p
+        num_reg = 2 if (p.regress_target.class_agnostic
+                        if p.regress_target.class_agnostic is not None
+                        else True) else p.num_class
+        self.module = heads_mod.Bbox2fcHead(
+            num_class=p.num_class, num_reg_class=num_reg, dtype=_dtype(p),
+            name=f"bbox_head_{p.stage or '1st'}")
+
+
+class CascadeRcnn:
+    """Detector singleton (reference models/cascade_rcnn/builder.py:10-135)."""
+
+    @staticmethod
+    def _assemble(backbone, neck, rpn_head, roi_extractor, bbox_head,
+                  bbox_head_2nd, bbox_head_3rd):
+        from simpledet_tpu.models.cascade_rcnn import CascadeRcnn as Module
+        heads = (bbox_head, bbox_head_2nd, bbox_head_3rd)
+        return Module(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            head_1st=heads[0].module, head_2nd=heads[1].module,
+            head_3rd=heads[2].module, p_rpn=rpn_head.p,
+            p_roi=roi_extractor.p, p_bboxes=tuple(h.p for h in heads))
+
+    def get_train_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                         bbox_head, bbox_head_2nd, bbox_head_3rd):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head, bbox_head_2nd, bbox_head_3rd)
+
+    def get_test_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                        bbox_head, bbox_head_2nd, bbox_head_3rd):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head, bbox_head_2nd, bbox_head_3rd)
+
+    def get_rpn_test_symbol(self, backbone, neck, rpn_head):
+        return FasterRcnn().get_rpn_test_symbol(backbone, neck, rpn_head)
+
+
 class RetinaNetNeck:
     def __init__(self, pNeck):
         from simpledet_tpu.models import retinanet as retina_mod
