@@ -164,9 +164,27 @@ class FasterRcnn:
             p_roi=patch_config_as_nothrow(_P), p_bbox=patch_config_as_nothrow(_P))
 
 
-class RPN(FasterRcnn):
-    """RPN-only detector (symbol/builder.py:9-39)."""
-    pass
+class RPN:
+    """RPN-only detector (reference symbol/builder.py:9-39). Also serves as
+    the detector singleton for anchor-free heads (the reference's FCOS config
+    instantiates `RPN` with an FCOSFPNHead)."""
+
+    @staticmethod
+    def _assemble(backbone, neck, rpn_head):
+        if isinstance(rpn_head, FCOSFPNHead):
+            return FCOSDetector._assemble(backbone, neck, rpn_head)
+        from simpledet_tpu.models.faster_rcnn import RpnOnly
+        return RpnOnly(backbone=backbone.module, neck=neck.module,
+                       rpn_module=rpn_head.impl.module, rpn=rpn_head.impl)
+
+    def get_train_symbol(self, backbone, neck, rpn_head):
+        return self._assemble(backbone, neck, rpn_head)
+
+    def get_test_symbol(self, backbone, neck, rpn_head):
+        return self._assemble(backbone, neck, rpn_head)
+
+    def get_rpn_test_symbol(self, backbone, neck, rpn_head):
+        return self._assemble(backbone, neck, rpn_head)
 
 
 class MaskFPNRpnHead(FPNRpnHead):
@@ -316,6 +334,44 @@ class RetinaNet:
         from simpledet_tpu.models.retinanet import RetinaNet as RetinaModule
         return RetinaModule(backbone=backbone.module, neck=neck.module,
                             head_module=head.impl.module, head=head.impl)
+
+    def get_train_symbol(self, backbone, neck, head):
+        return self._assemble(backbone, neck, head)
+
+    def get_test_symbol(self, backbone, neck, head):
+        return self._assemble(backbone, neck, head)
+
+
+class FCOSFPNNeck(RetinaNetNeck):
+    """P3-P7 neck with P6 sourced from P5 (reference models/FCOS/builder.py
+    FCOSFPNNeck, :399-423)."""
+
+    def __init__(self, pNeck):
+        from simpledet_tpu.models import retinanet as retina_mod
+        p = patch_config_as_nothrow(pNeck)
+        self.p = p
+        self.module = retina_mod.RetinaNetNeck(dtype=_dtype(p),
+                                               p6_source="p5", name="neck")
+
+
+class FCOSFPNHead:
+    def __init__(self, pRpn):
+        from simpledet_tpu.models import fcos as fcos_mod
+        p = patch_config_as_nothrow(pRpn)
+        p.dtype = _dtype(p)
+        self.p = p
+        self.impl = fcos_mod.FCOSHead(p)
+
+
+class FCOSDetector:
+    """FCOS uses the RPN detector singleton in the reference; here a
+    dedicated assembly returning the FCOS module."""
+
+    @staticmethod
+    def _assemble(backbone, neck, head):
+        from simpledet_tpu.models.fcos import FCOS as Module
+        return Module(backbone=backbone.module, neck=neck.module,
+                      head_module=head.impl.module, head=head.impl)
 
     def get_train_symbol(self, backbone, neck, head):
         return self._assemble(backbone, neck, head)

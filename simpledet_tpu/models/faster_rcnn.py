@@ -21,6 +21,29 @@ from simpledet_tpu.models.rpn import FPNRpnHead
 from simpledet_tpu.targets.proposal_target import batched_proposal_target
 
 
+class RpnOnly(nn.Module):
+    """RPN-only detector (reference symbol/builder.py:9-39 RPN): train =
+    backbone -> neck -> rpn losses; test = proposals out."""
+    backbone: nn.Module
+    neck: nn.Module
+    rpn_module: nn.Module
+    rpn: Any
+
+    @nn.compact
+    def __call__(self, data, im_info, gt_bbox=None, mode="train"):
+        pad_hw = data.shape[1:3]
+        pyr = self.neck(self.backbone(data))
+        rpn_out = self.rpn_module(pyr)
+        if mode == "train":
+            rng_anchor = self.make_rng("sampling")
+            losses, aux = self.rpn.loss(rng_anchor, rpn_out, gt_bbox,
+                                        im_info, pad_hw)
+            return losses, aux
+        boxes, scores = self.rpn.proposals(rpn_out, im_info, pad_hw,
+                                           is_train=False)
+        return {"proposal": boxes, "proposal_score": scores}
+
+
 class FasterRcnn(nn.Module):
     """Component-composed two-stage detector.
 

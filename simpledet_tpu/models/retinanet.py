@@ -38,6 +38,7 @@ class RetinaNetNeck(nn.Module):
     filters: int = 256
     norm: Any = None
     dtype: Any = jnp.float32
+    p6_source: str = "c5"        # RetinaNet: C5; FCOS-style necks: P5
 
     @nn.compact
     def __call__(self, feats):
@@ -63,7 +64,8 @@ class RetinaNetNeck(nn.Module):
         p3c = maybe_norm(conv(self.filters, 3, 1, "P3_conv")(p3), "P3_norm")
         p4c = maybe_norm(conv(self.filters, 3, 1, "P4_conv")(p4), "P4_norm")
         p5c = maybe_norm(conv(self.filters, 3, 1, "P5_conv")(p5), "P5_norm")
-        p6 = maybe_norm(conv(self.filters, 3, 2, "P6_conv")(c5), "P6_norm")
+        p6_in = c5 if self.p6_source == "c5" else p5c
+        p6 = maybe_norm(conv(self.filters, 3, 2, "P6_conv")(p6_in), "P6_norm")
         p7 = maybe_norm(conv(self.filters, 3, 2, "P7_conv")(nn.relu(p6)),
                         "P7_norm")
         return {"stride8": p3c, "stride16": p4c, "stride32": p5c,
