@@ -108,7 +108,8 @@ def train_net(config_path, max_iter_override=None):
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
     mesh = make_mesh(devices)
-    step_fn = make_train_step(model, mesh=mesh)
+    step_fn = make_train_step(model, mesh=mesh,
+                              remat=bool(ModelParam.memonger))
     metrics = CompositeMetric(metric_list)
     speedo = Speedometer(global_batch, General.log_frequency or 10, logger)
 

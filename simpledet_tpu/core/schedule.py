@@ -27,6 +27,19 @@ def warmup_multifactor(base_lr, lr_iters, factor=0.1, warmup_type="gradual",
     return sched
 
 
+def sequential(schedules, boundaries):
+    """Chain schedules switching at the given step boundaries
+    (reference utils/lr_scheduler.py:49 LRSequential)."""
+    import jax.numpy as jnp
+
+    def sched(step):
+        lr = schedules[0](step)
+        for s, b in zip(schedules[1:], boundaries):
+            lr = jnp.where(step >= b, s(step - b), lr)
+        return lr
+    return sched
+
+
 def advanced(base_lr, total_iter, mode="cosine", offset=0):
     if mode == "cosine":
         return optax.cosine_decay_schedule(base_lr, max(total_iter - offset, 1))

@@ -30,22 +30,35 @@ def create_train_state(rng, model, example_batch, tx):
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def make_train_step(model, mesh=None, donate=True):
+def make_train_step(model, mesh=None, donate=True, remat=False):
     """Returns step(state, batch, rng) -> (state, losses, aux).
 
     batch: dict with data [B,H,W,3], im_info [B,3], gt_bbox [B,G,5]; sharded
     over the mesh 'data' axis. Loss is averaged over the global batch, so
     gradients match the reference's rescale_grad=1/(ndev*nworker) semantics.
+
+    remat=True enables gradient checkpointing on the forward pass (the TPU
+    equivalent of the reference's memonger mirror planning,
+    utils/memonger_v2.py): matmul/conv outputs are kept, everything else is
+    rematerialized in the backward pass.
     """
 
     def step(state, batch, rng):
         def loss_fn(params):
             extra = {k: v for k, v in batch.items()
                      if k not in ("data", "im_info", "gt_bbox")}
-            losses, aux = state.apply_fn(
-                {"params": params}, batch["data"], batch["im_info"],
-                batch["gt_bbox"], mode="train", rngs={"sampling": rng},
-                **extra)
+            def fwd(p, data, im_info, gt_bbox, extra_):
+                return state.apply_fn(
+                    {"params": p}, data, im_info, gt_bbox, mode="train",
+                    rngs={"sampling": rng}, **extra_)
+
+            if remat:
+                fwd = jax.checkpoint(
+                    fwd,
+                    policy=jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable)
+            losses, aux = fwd(params, batch["data"], batch["im_info"],
+                              batch["gt_bbox"], extra)
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
             return total, (losses, aux)
 
