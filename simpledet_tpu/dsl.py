@@ -75,6 +75,34 @@ class MSRAResNet101V1C4(_BackboneBase):
     depth, variant, num_stages = 101, "v1", 3
 
 
+def hybrid_resnet_builder(special_block, num_stages=4, variant="v1b"):
+    """DCN/SE-style hybrid backbones (reference models/dcn/builder.py:56-114):
+    the last `num_cX_block` units of each stage use `special_block`."""
+
+    class HybridBackbone(_BackboneBase):
+        def __init__(self, pBackbone):
+            p = patch_config_as_nothrow(pBackbone)
+            self.p = p
+            self.module = resnet_mod.ResNet(
+                depth=p.depth or 50, variant=variant, norm=_norm(p),
+                dtype=_dtype(p), num_stages=num_stages,
+                num_special=(p.num_c2_block or 0, p.num_c3_block or 0,
+                             p.num_c4_block or 0, p.num_c5_block or 0),
+                special_block=special_block, name="backbone")
+
+    return HybridBackbone
+
+
+def hybrid_resnet_c4_builder(special_block, variant="v1b"):
+    return hybrid_resnet_builder(special_block, num_stages=3,
+                                 variant=variant)
+
+
+def hybrid_resnet_fpn_builder(special_block, variant="v1b"):
+    return hybrid_resnet_builder(special_block, num_stages=4,
+                                 variant=variant)
+
+
 class FPNNeck:
     def __init__(self, pNeck):
         p = patch_config_as_nothrow(pNeck)

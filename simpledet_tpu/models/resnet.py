@@ -116,6 +116,10 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     num_stages: int = 4          # how many residual stages (2..4 -> c5)
     stage4_dilation: int = 1     # TridentNet / DCN style dilated stage
+    # trailing units per stage replaced by a special block (DCN/SE hybrids,
+    # reference models/dcn/builder.py hybrid_resnet_stage num_cX_block)
+    num_special: Sequence = (0, 0, 0, 0)
+    special_block: Callable = None   # module class, Bottleneck-compatible
 
     @nn.compact
     def __call__(self, x):
@@ -151,14 +155,18 @@ class ResNet(nn.Module):
             dilation = 1
             if stage == 3 and self.stage4_dilation != 1:
                 stride, dilation = 1, self.stage4_dilation
+            n_special = self.num_special[stage] if self.special_block else 0
             for unit in range(n_unit):
+                cls = block_cls
+                if n_special and unit >= n_unit - n_special:
+                    cls = self.special_block
                 kw = dict(filters=filters[stage],
                           stride=stride if unit == 0 else 1,
                           norm=norm, dtype=self.dtype, dilation=dilation,
                           name=f"stage{stage + 1}_unit{unit + 1}")
-                if self.variant != "v2":
+                if self.variant != "v2" and cls is block_cls:
                     kw["variant"] = self.variant
-                x = block_cls(**kw)(x)
+                x = cls(**kw)(x)
             out = x
             if self.variant == "v2":
                 out = norm(name=f"stage{stage + 1}_bn")(out)
