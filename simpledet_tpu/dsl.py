@@ -370,6 +370,106 @@ class RetinaNet:
         return self._assemble(backbone, neck, head)
 
 
+class RetinaNetHeadWithBN(RetinaNetHead):
+    """Retina subnets with per-level BN (reference models/NASFPN/builder.py
+    RetinaNetHeadWithBN)."""
+
+    def __init__(self, pRpn):
+        from simpledet_tpu.models import retinanet as retina_mod
+        p = patch_config_as_nothrow(pRpn)
+        p.dtype = _dtype(p)
+        self.p = p
+        self.impl = retina_mod.RetinaNetHead(p)
+        self.impl.module = retina_mod.RetinaSubnets(
+            num_anchor=self.impl.num_anchor,
+            num_fg_class=self.impl.num_fg_class,
+            conv_channel=p.head.conv_channel, norm=_norm(p), dtype=_dtype(p))
+
+
+class _NeckWrapper:
+    module_cls = None
+    kwargs = {}
+
+    def __init__(self, pNeck):
+        p = patch_config_as_nothrow(pNeck)
+        self.p = p
+        kw = dict(self.kwargs)
+        if p.dim_reduced:
+            kw["filters"] = p.dim_reduced
+        if p.num_stage:
+            kw["num_stage"] = p.num_stage
+        if p.S0_kernel and "s0_kernel" in self.module_cls.__dataclass_fields__:
+            kw["s0_kernel"] = p.S0_kernel
+        norm = getattr(p, "normalizer", None)
+        if norm is not None and getattr(norm, "type", "") in ("syncbn",
+                                                              "localbn",
+                                                              "gn"):
+            kw["norm"] = norm
+        self.module = self.module_cls(dtype=_dtype(p), name="neck", **kw)
+
+
+class NASFPNNeck(_NeckWrapper):
+    from simpledet_tpu.models.nasfpn import NASFPNNeck as module_cls
+
+
+class TopDownBottomUpFPNNeck(_NeckWrapper):
+    from simpledet_tpu.models.nasfpn import \
+        TopDownBottomUpFPNNeck as module_cls
+
+
+class PAFPNNeck(_NeckWrapper):
+    from simpledet_tpu.models.fpg import PAFPNNeckP2P6 as module_cls
+
+
+class PAFPNNeckP2P6(PAFPNNeck):
+    pass
+
+
+class PAFPNNeckP3P7(_NeckWrapper):
+    from simpledet_tpu.models.fpg import PAFPNNeckP3P7 as module_cls
+
+
+class FPGNeck(_NeckWrapper):
+    from simpledet_tpu.models.fpg import FPGNeckP3P7 as module_cls
+
+
+class FPGNeckP2P6(_NeckWrapper):
+    from simpledet_tpu.models.fpg import FPGNeckP2P6 as module_cls
+
+
+def efficientnet_fpn_builder(variant):
+    from simpledet_tpu.models.efficientnet import EfficientNet
+
+    class EffNetFPN:
+        def __init__(self, pBackbone):
+            p = patch_config_as_nothrow(pBackbone)
+            self.p = p
+            self.module = EfficientNet(variant=variant, norm=_norm(p),
+                                       dtype=_dtype(p), name="backbone")
+
+    return EffNetFPN
+
+
+EfficientNetB4FPN = efficientnet_fpn_builder("b4")
+EfficientNetB5FPN = efficientnet_fpn_builder("b5")
+EfficientNetB6FPN = efficientnet_fpn_builder("b6")
+EfficientNetB7FPN = efficientnet_fpn_builder("b7")
+
+
+class MaskRcnnSe4convHead:
+    """SE-augmented mask head (reference models/se/builder.py:67-96)."""
+
+    def __init__(self, pBbox, pMask, pMaskRoi):
+        from simpledet_tpu.models.se import SEMaskHead4Conv
+        self.p_bbox = patch_config_as_nothrow(pBbox)
+        self.p = patch_config_as_nothrow(pMask)
+        self.p_roi = patch_config_as_nothrow(pMaskRoi)
+        self.module = SEMaskHead4Conv(
+            num_class=self.p_bbox.num_class,
+            dim_reduced=self.p.dim_reduced or 256,
+            dtype=_dtype(self.p), name="mask_head")
+
+
 class FCOSFPNNeck(RetinaNetNeck):
     """P3-P7 neck with P6 sourced from P5 (reference models/FCOS/builder.py
     FCOSFPNNeck, :399-423)."""

@@ -145,10 +145,14 @@ class RetinaNetHead:
             conv_channel=p.head.conv_channel,
             dtype=getattr(p, "dtype", jnp.float32))
 
-    def _level_anchors(self, pad_hw):
+    def _level_anchors(self, level_outputs):
+        """Anchor grids from the ACTUAL per-level feature shapes (necks with
+        pooled extra levels, e.g. NASFPN, may deviate from ceil(dim/stride))."""
+        keys = sorted(level_outputs,
+                      key=lambda s: int(s.replace("stride", "")))
         out = []
-        for s in self.strides:
-            fh, fw = feature_shape(pad_hw, s)
+        for key, s in zip(keys, self.strides):
+            fh, fw = level_outputs[key][0].shape[1:3]
             out.append(generate_anchor_grid(fh, fw, s, self.scales,
                                             self.ratios))
         return out
@@ -167,7 +171,8 @@ class RetinaNetHead:
     def loss(self, level_outputs, gt_bbox, im_info, pad_hw):
         p = self.p
         cls_logit, reg_delta = self.flatten_outputs(level_outputs)
-        anchors = jnp.asarray(np.concatenate(self._level_anchors(pad_hw), 0))
+        anchors = jnp.asarray(
+            np.concatenate(self._level_anchors(level_outputs), 0))
         label, target, weight, fg_count = batched_retina_anchor_target(
             anchors, gt_bbox, im_info[:, :2],
             allowed_border=p.anchor_assign.allowed_border
@@ -211,7 +216,7 @@ class RetinaNetHead:
         std = (p.head.std or (1., 1., 1., 1.))
         keys = sorted(level_outputs,
                       key=lambda s: int(s.replace("stride", "")))
-        anchors = self._level_anchors(pad_hw)
+        anchors = self._level_anchors(level_outputs)
         max_stride = max(self.strides)
 
         def per_level(logit, delta, anc, stride, hw):
