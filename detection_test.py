@@ -75,20 +75,28 @@ def test_net(config_path, max_images=None):
                     keys=("data", "im_info", "im_id"), pad_last=False,
                     aspect_grouping=True)
 
-    nms_type = "softnms" if (TestParam.nms.type or "nms") == "softnms" \
-        else "nms"
+    nms_type = TestParam.nms.type or "nms"
+    if nms_type not in ("softnms", "setnms"):
+        nms_type = "nms"
     detections = []
     t0 = time.time()
     n_done = 0
     for batch in loader:
         out = fwd(params, jnp.asarray(batch["data"]),
                   jnp.asarray(batch["im_info"]))
-        boxes, scores, classes, valid = jax.vmap(
-            lambda s, b: per_class_nms(
-                s, b, score_thr=TestParam.min_det_score or 0.05,
-                nms_thr=TestParam.nms.thr or 0.5,
-                max_det=TestParam.max_det_per_image or 100,
-                nms_type=nms_type))(out["cls_score"], out["bbox_xyxy"])
+        kw = {}
+        post = lambda s, b, **k: per_class_nms(
+            s, b, score_thr=TestParam.min_det_score or 0.05,
+            nms_thr=TestParam.nms.thr or 0.5,
+            max_det=TestParam.max_det_per_image or 100,
+            nms_type=nms_type, **k)
+        if nms_type == "setnms" and "set_index" in out:
+            boxes, scores, classes, valid = jax.vmap(
+                lambda s, b, si: post(s, b, set_index=si))(
+                out["cls_score"], out["bbox_xyxy"], out["set_index"])
+        else:
+            boxes, scores, classes, valid = jax.vmap(post)(
+                out["cls_score"], out["bbox_xyxy"])
         boxes = np.asarray(boxes)
         scores = np.asarray(scores)
         classes = np.asarray(classes)

@@ -370,6 +370,68 @@ class RetinaNet:
         return self._assemble(backbone, neck, head)
 
 
+class DoublePredFPNBbox2fcHead:
+    """Double-prediction head (reference models/crowdhuman/builder.py:330)."""
+
+    def __init__(self, pBbox):
+        from simpledet_tpu.models.crowdhuman import DoublePredBbox2fcHead
+        p = patch_config_as_nothrow(pBbox)
+        self.p = p
+        num_reg = 2 if (p.regress_target.class_agnostic or False) \
+            else p.num_class
+        self.module = DoublePredBbox2fcHead(
+            num_class=p.num_class, num_reg_class=num_reg, dtype=_dtype(p),
+            name="bbox_head")
+
+
+class DoublePredRcnn:
+    """Detector singleton (reference models/crowdhuman/builder.py:12-48)."""
+
+    @staticmethod
+    def _assemble(backbone, neck, rpn_head, roi_extractor, bbox_head):
+        from simpledet_tpu.models.crowdhuman import DoublePredRcnn as Module
+        return Module(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            bbox_head=bbox_head.module, p_rpn=rpn_head.p,
+            p_roi=roi_extractor.p, p_bbox=bbox_head.p)
+
+    def get_train_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                         bbox_head):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head)
+
+    def get_test_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                        bbox_head):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head)
+
+    def get_rpn_test_symbol(self, backbone, neck, rpn_head):
+        return FasterRcnn().get_rpn_test_symbol(backbone, neck, rpn_head)
+
+
+class FPNRpnHeadwithIgnore(FPNRpnHead):
+    """Ignore-region-aware RPN head alias (reference
+    models/crowdhuman/builder.py:356). Ignore regions are encoded as gt rows
+    whose class is -1 beyond the valid prefix — handled by the standard
+    anchor target's padded-gt masking; full ignore-region semantics (IoF
+    suppression) are a TODO documented here."""
+    pass
+
+
+class FreeAnchorRetinaNetHead:
+    """Learning-to-match retina head (reference models/FreeAnchor/builder.py
+    FreeAnchorRetinaNetHead:42)."""
+
+    def __init__(self, pRpn):
+        from simpledet_tpu.models.freeanchor import \
+            FreeAnchorRetinaNetHead as Impl
+        p = patch_config_as_nothrow(pRpn)
+        p.dtype = _dtype(p)
+        self.p = p
+        self.impl = Impl(p)
+
+
 class RetinaNetHeadWithBN(RetinaNetHead):
     """Retina subnets with per-level BN (reference models/NASFPN/builder.py
     RetinaNetHeadWithBN)."""

@@ -9,14 +9,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from simpledet_tpu.ops.nms import NEG_INF, nms, soft_nms
+from simpledet_tpu.ops.nms import NEG_INF, nms, set_nms, soft_nms
 
 
 @partial(jax.jit, static_argnames=("max_per_class", "max_det", "nms_type"))
 def per_class_nms(cls_score, bbox_xyxy, *, score_thr=0.05, nms_thr=0.5,
-                  max_per_class=100, max_det=100, nms_type="nms"):
+                  max_per_class=100, max_det=100, nms_type="nms",
+                  set_index=None):
     """Single image. cls_score: [R, C] (incl. background col 0);
     bbox_xyxy: [R, 4*C] per-class boxes (class-agnostic already tiled).
+    set_index: optional [R] set ids for nms_type="setnms" (crowd double
+    predictions, reference detection_test.py:226-253).
 
     Returns (boxes [max_det, 4], scores [max_det], classes [max_det] int32
     in 1..C-1, valid [max_det]) sorted by score.
@@ -29,6 +32,9 @@ def per_class_nms(cls_score, bbox_xyxy, *, score_thr=0.05, nms_thr=0.5,
         if nms_type == "softnms":
             ob, osc, _, ov = soft_nms(boxes, scores, max_per_class,
                                       valid=valid)
+        elif nms_type == "setnms":
+            ob, osc, _, ov = set_nms(boxes, scores, set_index, nms_thr,
+                                     max_per_class, valid=valid)
         else:
             ob, osc, _, ov = nms(boxes, scores, nms_thr, max_per_class,
                                  valid=valid)

@@ -74,6 +74,69 @@ def nms(boxes, scores, thr, max_out, valid=None, legacy_plus_one=True):
     return out_boxes, jnp.where(out_valid, scores[out_idx], NEG_INF), out_idx, out_valid
 
 
+def set_nms(boxes, scores, set_ids, thr, max_out, valid=None,
+            legacy_plus_one=True):
+    """Set-suppression-exempt greedy NMS (reference operator_py/nms.py:77):
+    boxes sharing a set id (the double predictions of one proposal) never
+    suppress each other. Same outputs as nms()."""
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores)
+    sboxes = boxes[order]
+    svalid = valid[order]
+    ssets = set_ids[order]
+
+    iou = bbox_overlaps(sboxes, sboxes, legacy_plus_one)
+    sup = (iou > thr) & svalid[None, :] & svalid[:, None]
+    sup = sup & (ssets[:, None] != ssets[None, :])
+    idx = jnp.arange(n)
+    sup = sup & (idx[:, None] != idx[None, :])
+
+    def step(suppressed, xs):
+        row, i = xs
+        keep_i = jnp.logical_not(suppressed[i]) & svalid[i]
+        suppressed = jnp.where(keep_i, suppressed | row, suppressed)
+        return suppressed, keep_i
+
+    _, keep = jax.lax.scan(step, jnp.zeros((n,), bool), (sup, idx))
+    keep = keep & svalid
+
+    kept_scores = jnp.where(keep, masked_scores[order], NEG_INF)
+    if max_out > n:
+        pad = max_out - n
+        kept_scores = jnp.pad(kept_scores, (0, pad), constant_values=NEG_INF)
+        sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
+        order = jnp.pad(order, (0, pad), constant_values=-1)
+    take = jnp.argsort(-kept_scores)[:max_out]
+    out_scores = kept_scores[take]
+    out_valid = out_scores > NEG_INF / 2
+    out_idx = jnp.where(out_valid, order[take], -1)
+    out_boxes = jnp.where(out_valid[:, None], sboxes[take], 0.0)
+    return out_boxes, jnp.where(out_valid, scores[out_idx], NEG_INF), \
+        out_idx, out_valid
+
+
+def py_weighted_nms(boxes, scores, thr_lo, thr_hi, max_out, valid=None,
+                    legacy_plus_one=True):
+    """Box-voting NMS (reference operator_py/nms.py:110 py_weighted_nms):
+    greedy keep at thr_lo; each kept box's coords are replaced by the
+    score-weighted average of boxes with IoU > thr_hi against it."""
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    kb, ks, kidx, kv = nms(boxes, scores, thr_lo, max_out, valid=valid,
+                           legacy_plus_one=legacy_plus_one)
+    iou = bbox_overlaps(kb, boxes, legacy_plus_one)          # [K, N]
+    w = jnp.where((iou > thr_hi) & valid[None, :],
+                  jnp.maximum(scores, 0.0)[None, :], 0.0)
+    wsum = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-12)
+    voted = (w @ boxes) / wsum
+    voted = jnp.where(kv[:, None], voted, 0.0)
+    return voted, ks, kidx, kv
+
+
 def soft_nms(boxes, scores, max_out, thr=0.3, sigma=0.5, score_thresh=0.001,
              method="gaussian", valid=None, legacy_plus_one=True):
     """Soft-NMS (linear / gaussian decay), mirrors cpu_soft_nms in the

@@ -130,6 +130,54 @@ def proposal_target(rng, rois, gt_bbox, *, image_rois, fg_fraction, fg_thr,
     return out
 
 
+def proposal_target_double(rng, rois, gt_bbox, *, fg_thr, bbox_mean,
+                           bbox_std, num_reg_class, class_agnostic, **kw):
+    """Double-prediction sampling for crowd scenes (reference
+    models/crowdhuman/bbox_sec_target.py): the usual sample plus SECOND-best
+    gt targets per sampled roi (label 0 when the 2nd IoU < fg_thr)."""
+    sample = proposal_target(rng, rois, gt_bbox, fg_thr=fg_thr,
+                             bbox_mean=bbox_mean, bbox_std=bbox_std,
+                             num_reg_class=num_reg_class,
+                             class_agnostic=class_agnostic, **kw)
+    sel_rois = sample["rois"]
+    gt_valid = gt_bbox[:, 4] != -1
+    ov = bbox_overlaps(sel_rois, gt_bbox[:, :4])
+    ov = jnp.where(gt_valid[None, :], ov, -1.0)
+    # mask the best gt column per roi, take the runner-up
+    best = jnp.argmax(ov, axis=1)
+    masked = ov.at[jnp.arange(ov.shape[0]), best].set(-1.0)
+    iou2 = jnp.max(masked, axis=1)
+    idx2 = jnp.argmax(masked, axis=1)
+    fg2 = (iou2 >= fg_thr) & sample["fg_mask"]
+    label2 = jnp.where(fg2, gt_bbox[idx2, 4], 0.0)
+    targets2 = encode_boxes(sel_rois, gt_bbox[idx2, :4],
+                            means=bbox_mean, stds=bbox_std)
+    targets2 = jnp.where(fg2[:, None], targets2, 0.0)
+    if class_agnostic:
+        reg_cls2 = jnp.minimum(label2, 1.0).astype(jnp.int32)
+    else:
+        reg_cls2 = label2.astype(jnp.int32)
+    onehot2 = jax.nn.one_hot(reg_cls2, num_reg_class, dtype=targets2.dtype)
+    sample["sec_label"] = label2
+    sample["sec_bbox_target"] = (onehot2[:, :, None]
+                                 * targets2[:, None, :]).reshape(
+        sel_rois.shape[0], num_reg_class * 4)
+    w = jnp.asarray(kw.get("bbox_weight", (1., 1., 1., 1.)), targets2.dtype)
+    wrows = jnp.where(fg2[:, None], w[None, :], 0.0)
+    sample["sec_bbox_weight"] = (onehot2[:, :, None]
+                                 * wrows[:, None, :]).reshape(
+        sel_rois.shape[0], num_reg_class * 4)
+    return sample
+
+
+def batched_proposal_target_double(rng, rois, gt_bbox, **kw):
+    b = rois.shape[0]
+    rngs = jax.random.split(rng, b)
+    return jax.vmap(lambda r, ro, gt: proposal_target_double(r, ro, gt,
+                                                             **kw))(
+        rngs, rois, gt_bbox)
+
+
 def batched_proposal_target(rng, rois, gt_bbox, **kw):
     """vmapped over images. rois: [B, R, 4]; gt_bbox: [B, G, 5]."""
     b = rois.shape[0]
