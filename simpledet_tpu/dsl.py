@@ -370,6 +370,87 @@ class RetinaNet:
         return self._assemble(backbone, neck, head)
 
 
+class MaskIoUConvHead:
+    """MaskIoU scoring head (reference models/msrcnn/builder.py:65)."""
+
+    def __init__(self, pTest, pBbox, pMask):
+        from simpledet_tpu.models.msrcnn import MaskIoUHead
+        self.p_test = patch_config_as_nothrow(pTest)
+        self.p_bbox = patch_config_as_nothrow(pBbox)
+        self.p = patch_config_as_nothrow(pMask)
+        self.module = MaskIoUHead(num_class=self.p_bbox.num_class,
+                                  dtype=_dtype(self.p), name="maskiou_head")
+
+
+class MaskScoringFasterRcnn(MaskFasterRcnn):
+    """Detector singleton (reference models/msrcnn/builder.py:13-63)."""
+
+    @staticmethod
+    def _assemble(backbone, neck, rpn_head, roi_extractor,
+                  mask_roi_extractor, bbox_head, mask_head, maskiou_head,
+                  bbox_post_processor=None):
+        from simpledet_tpu.models.msrcnn import \
+            MaskScoringFasterRcnn as Module
+        return Module(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            bbox_head=bbox_head.module, p_rpn=rpn_head.p,
+            p_roi=roi_extractor.p, p_bbox=bbox_head.p,
+            mask_head=mask_head.module, p_mask=mask_head.p,
+            p_mask_roi=mask_roi_extractor.p,
+            p_test=bbox_post_processor.p if bbox_post_processor else None,
+            maskiou_head=maskiou_head.module)
+
+    def get_train_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                         mask_roi_extractor, bbox_head, mask_head,
+                         maskiou_head):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              mask_roi_extractor, bbox_head, mask_head,
+                              maskiou_head)
+
+    def get_test_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                        mask_roi_extractor, bbox_head, mask_head,
+                        maskiou_head, bbox_post_processor):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              mask_roi_extractor, bbox_head, mask_head,
+                              maskiou_head, bbox_post_processor)
+
+
+class FitNetHead:
+    """FitNet hint head (reference models/KD/builder.py:12)."""
+
+    def __init__(self, pKD):
+        from simpledet_tpu.models.kd import FitNetHead as Impl
+        p = patch_config_as_nothrow(pKD)
+        self.p = p
+        self.module = Impl(channel=p.channel or 256, stage=p.stage or "c4",
+                           grad_scale=p.grad_scale or 1.0, name="kd_head")
+
+
+class FitNetFasterRcnn(FasterRcnn):
+    """KD detector singleton (reference models/KD/builder.py:71)."""
+
+    def get_train_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                         bbox_head, kd_head):
+        from simpledet_tpu.models.kd import FitNetFasterRcnn as Module
+        return Module(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            bbox_head=bbox_head.module, p_rpn=rpn_head.p,
+            p_roi=roi_extractor.p, p_bbox=bbox_head.p,
+            kd_head=kd_head.module)
+
+
+class FitNetRetinaNet(RetinaNet):
+    """KD RetinaNet singleton (reference models/KD/builder.py:45)."""
+
+    def get_train_symbol(self, backbone, neck, head, kd_head):
+        from simpledet_tpu.models.kd import FitNetRetinaNet as Module
+        return Module(backbone=backbone.module, neck=neck.module,
+                      head_module=head.impl.module, head=head.impl,
+                      kd_head=kd_head.module)
+
+
 class DoublePredFPNBbox2fcHead:
     """Double-prediction head (reference models/crowdhuman/builder.py:330)."""
 

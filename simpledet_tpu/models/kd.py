@@ -1,0 +1,123 @@
+"""Knowledge distillation (FitNet) — reference models/KD/.
+
+FitNetHead (builder.py:12-42): a 1x1 conv + relu adapter on a chosen
+backbone stage; L2 hint loss against the teacher's feature, scaled by
+grad_scale. FitNetFasterRcnn / FitNetRetinaNet (builder.py:45-105) add the
+hint loss to the detector's losses; the teacher feature arrives as the
+`teacher_label` input.
+
+The reference ran the teacher with a second DetModule per batch
+(KDDetModule, detection_module.py:48). Here `make_teacher_fn` returns a
+jitted frozen-teacher forward producing teacher_label; the train CLI calls
+it per batch (or the teacher can be fused into the same jit by passing its
+module+params — both paths keep the teacher out of the gradient).
+"""
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from simpledet_tpu.models.faster_rcnn import FasterRcnn
+from simpledet_tpu.models.retinanet import RetinaNet
+
+
+class FitNetHead(nn.Module):
+    """Student hint adapter + L2 loss vs teacher feature."""
+    channel: int
+    stage: str = "c4"
+    grad_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_dict, teacher_label):
+        x = feat_dict[self.stage].astype(jnp.float32)
+        hint = nn.Conv(self.channel, (1, 1), use_bias=True,
+                       name="student_hint_conv")(x)
+        hint = nn.relu(hint)
+        return self.grad_scale * jnp.mean(
+            (hint - jax.lax.stop_gradient(teacher_label)) ** 2)
+
+
+class FitNetFasterRcnn(FasterRcnn):
+    """Faster R-CNN + hint loss (reference FitNetFasterRcnn:71)."""
+    kd_head: nn.Module = None
+
+    @nn.compact
+    def __call__(self, data, im_info, gt_bbox=None, teacher_label=None,
+                 mode="train"):
+        if mode != "train" or teacher_label is None:
+            return super().__call__(data, im_info, gt_bbox, mode=mode)
+        feats = self.backbone(data)
+        # rebuild the detector path on the shared backbone features
+        pyr = self.neck(feats)
+        rpn_out = self.rpn_module(pyr)
+        rng_anchor = self.make_rng("sampling")
+        rng_sample = self.make_rng("sampling")
+        rpn_losses, rpn_aux = self.rpn.loss(rng_anchor, rpn_out, gt_bbox,
+                                            im_info, data.shape[1:3])
+        proposals, _ = self.rpn.proposals(rpn_out, im_info, data.shape[1:3],
+                                          is_train=True)
+        from simpledet_tpu.models.heads import bbox_head_loss
+        from simpledet_tpu.targets.proposal_target import \
+            batched_proposal_target
+        ps = self.p_rpn.subsample_proposal
+        pt = self.p_rpn.bbox_target
+        sample = batched_proposal_target(
+            rng_sample, proposals, gt_bbox,
+            image_rois=ps.image_roi, fg_fraction=ps.fg_fraction,
+            fg_thr=ps.fg_thr, bg_thr_hi=ps.bg_thr_hi, bg_thr_lo=ps.bg_thr_lo,
+            num_reg_class=pt.num_reg_class, class_agnostic=pt.class_agnostic,
+            proposal_wo_gt=ps.proposal_wo_gt or False,
+            bbox_mean=pt.mean, bbox_std=pt.std, bbox_weight=pt.weight)
+        sample = jax.lax.stop_gradient(sample)
+        roi_feat = self.extract_rois(pyr, sample["rois"])
+        cls_logit, bbox_delta = self.bbox_head(roi_feat)
+        losses = bbox_head_loss(cls_logit, bbox_delta, sample["label"],
+                                sample["bbox_target"], sample["bbox_weight"])
+        losses.update(rpn_losses)
+        losses["fit_loss"] = self.kd_head(feats, teacher_label)
+        aux = dict(rpn_aux)
+        aux["bbox_label"] = sample["label"]
+        aux["bbox_cls_logit"] = cls_logit
+        return losses, aux
+
+
+class FitNetRetinaNet(RetinaNet):
+    """RetinaNet + hint loss (reference FitNetRetinaNet:45)."""
+    kd_head: nn.Module = None
+
+    @nn.compact
+    def __call__(self, data, im_info, gt_bbox=None, teacher_label=None,
+                 mode="train"):
+        pad_hw = data.shape[1:3]
+        feats = self.backbone(data)
+        pyr = self.neck(feats)
+        outs = self.head_module(pyr)
+        if mode == "train":
+            losses, aux = self.head.loss(outs, gt_bbox, im_info, pad_hw)
+            if teacher_label is not None:
+                losses["fit_loss"] = self.kd_head(feats, teacher_label)
+            return losses, aux
+        cls_score, bbox_xyxy, valid = self.head.prediction(outs, im_info,
+                                                           pad_hw)
+        num_class = self.head.p.num_class
+        return {"cls_score": cls_score,
+                "bbox_xyxy": jnp.tile(bbox_xyxy, (1, 1, num_class)),
+                "det_valid": valid}
+
+
+def make_teacher_fn(teacher_backbone_module, teacher_params, stage="c4"):
+    """Jitted frozen-teacher feature extractor: batch data -> teacher_label.
+
+    Replaces the reference's per-batch teacher DetModule forward
+    (models/KD/detection_module.py:88-150, wired in detection_train.py:172-181).
+    """
+
+    @jax.jit
+    def teacher_fn(data):
+        feats = teacher_backbone_module.apply({"params": teacher_params},
+                                              data)
+        return jax.lax.stop_gradient(feats[stage])
+
+    return teacher_fn
