@@ -370,6 +370,93 @@ class RetinaNet:
         return self._assemble(backbone, neck, head)
 
 
+class TridentMXNetResNetV2:
+    """Trident ResNet-v2 C4 backbone wrapper (reference
+    models/tridentnet/builder.py:474 / resnet_v2.py TridentResNetV2Builder)."""
+
+    def __init__(self, pBackbone):
+        from simpledet_tpu.models.tridentnet import TridentResNetV2C4
+        p = patch_config_as_nothrow(pBackbone)
+        self.p = p
+        trident = p.trident or p
+        self.num_branch = (trident and trident.num_branch) or 3
+        self.module = TridentResNetV2C4(
+            depth=p.depth or 50, norm=_norm(p), dtype=_dtype(p),
+            num_branch=self.num_branch, name="backbone")
+
+
+TridentResNetV2C4 = TridentMXNetResNetV2
+
+
+class TridentRpnHead(FPNRpnHead):
+    """Single-level RPN head for trident C4 (reference
+    models/tridentnet/builder.py:204)."""
+    pass
+
+
+class BboxC5Head:
+    """ResNet stage-5 bbox head (reference symbol/builder.py:554 BboxC5Head /
+    trident BboxC5V2Head)."""
+
+    def __init__(self, pBbox):
+        from simpledet_tpu.models.tridentnet import BboxC5V2Head
+        p = patch_config_as_nothrow(pBbox)
+        self.p = p
+        num_reg = 2 if (p.regress_target.class_agnostic or False) \
+            else p.num_class
+        self.module = BboxC5V2Head(
+            num_class=p.num_class, num_reg_class=num_reg,
+            depth=p.depth or 50, norm=_norm(p), dtype=_dtype(p),
+            name="bbox_head")
+
+
+BboxC5V1Head = BboxC5Head
+BboxResNeXtC5Head = BboxC5Head
+
+
+class TridentFasterRcnn:
+    """Detector singleton (reference models/tridentnet/builder.py:55-129)."""
+
+    @staticmethod
+    def _assemble(backbone, neck, rpn_head, roi_extractor, bbox_head,
+                  num_branch, scaleaware, valid_ranges=None):
+        from simpledet_tpu.models.tridentnet import \
+            TridentFasterRcnn as Module
+        kw = {}
+        if valid_ranges is not None:
+            kw["valid_ranges"] = tuple(tuple(v) for v in valid_ranges)
+        return Module(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            bbox_head=bbox_head.module, p_rpn=rpn_head.p,
+            p_roi=roi_extractor.p, p_bbox=bbox_head.p,
+            num_branch=num_branch, scaleaware=bool(scaleaware), **kw)
+
+    def get_train_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                         bbox_head, num_branch, scaleaware,
+                         valid_ranges=None):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head, num_branch, scaleaware,
+                              valid_ranges)
+
+    def get_test_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                        bbox_head, num_branch, scaleaware=True,
+                        valid_ranges=None):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head, num_branch, scaleaware,
+                              valid_ranges)
+
+
+def process_branch_outputs(*args, **kw):
+    """No-op: branch filtering/merging happens in-graph (the trident test
+    mode folds branches into the detection axis and masks out-of-range
+    scores; reference models/tridentnet/builder.py:538-571)."""
+    return args[0] if args else None
+
+
+process_branch_rpn_outputs = process_branch_outputs
+
+
 class MaskIoUConvHead:
     """MaskIoU scoring head (reference models/msrcnn/builder.py:65)."""
 

@@ -48,7 +48,8 @@ class RpnConvHead(nn.Module):
                       kernel_init=nn.initializers.normal(0.01),
                       name="rpn_reg")
         out = {}
-        for key in sorted(pyramid, key=lambda s: int(s.replace("stride", ""))):
+        keys = [k for k in pyramid if k.startswith("stride")]
+        for key in sorted(keys, key=lambda s: int(s.replace("stride", ""))):
             x = nn.relu(conv(pyramid[key]))
             x32 = x.astype(jnp.float32)
             out[key] = (cls(x32), reg(x32))

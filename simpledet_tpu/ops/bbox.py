@@ -105,18 +105,18 @@ def clip_boxes(boxes, im_hw, legacy_plus_one=True):
     """
     off = 1.0 if legacy_plus_one else 0.0
     im_hw = jnp.asarray(im_hw)
-    h = im_hw[..., 0:1]
-    w = im_hw[..., 1:2]
+    h = im_hw[..., 0]
+    w = im_hw[..., 1]
     shp = boxes.shape
     b = boxes.reshape(shp[:-1] + (shp[-1] // 4, 4))
-    # broadcast h/w against [..., C]
+    # right-pad h/w with singleton dims so leading (batch) axes align
     while h.ndim < b.ndim - 1:
-        h = h[..., None, :]
-        w = w[..., None, :]
-    x1 = jnp.clip(b[..., 0], 0.0, w[..., 0] - off)
-    y1 = jnp.clip(b[..., 1], 0.0, h[..., 0] - off)
-    x2 = jnp.clip(b[..., 2], 0.0, w[..., 0] - off)
-    y2 = jnp.clip(b[..., 3], 0.0, h[..., 0] - off)
+        h = h[..., None]
+        w = w[..., None]
+    x1 = jnp.clip(b[..., 0], 0.0, w - off)
+    y1 = jnp.clip(b[..., 1], 0.0, h - off)
+    x2 = jnp.clip(b[..., 2], 0.0, w - off)
+    y2 = jnp.clip(b[..., 3], 0.0, h - off)
     return jnp.stack([x1, y1, x2, y2], axis=-1).reshape(shp)
 
 
