@@ -370,6 +370,32 @@ class RetinaNet:
         return self._assemble(backbone, neck, head)
 
 
+class RepPointsHead:
+    def __init__(self, pHead):
+        from simpledet_tpu.models.reppoints import RepPointsHead as Impl
+        p = patch_config_as_nothrow(pHead)
+        p.dtype = _dtype(p)
+        self.p = p
+        self.impl = Impl(p)
+
+
+class RepPointsDetector:
+    """Detector singleton for RepPoints (the reference uses RetinaNet-style
+    3-arg assembly)."""
+
+    @staticmethod
+    def _assemble(backbone, neck, head):
+        from simpledet_tpu.models.reppoints import RepPoints as Module
+        return Module(backbone=backbone.module, neck=neck.module,
+                      head_module=head.impl.module, head=head.impl)
+
+    def get_train_symbol(self, backbone, neck, head):
+        return self._assemble(backbone, neck, head)
+
+    def get_test_symbol(self, backbone, neck, head):
+        return self._assemble(backbone, neck, head)
+
+
 class TridentMXNetResNetV2:
     """Trident ResNet-v2 C4 backbone wrapper (reference
     models/tridentnet/builder.py:474 / resnet_v2.py TridentResNetV2Builder)."""
