@@ -370,6 +370,56 @@ class RetinaNet:
         return self._assemble(backbone, neck, head)
 
 
+class TSDConvFCBBoxHead:
+    """TSD head wrapper (reference models/TSD/bbox_head.py:53)."""
+
+    def __init__(self, pBbox, delta_c_pool=None, delta_r_pool=None):
+        from simpledet_tpu.models.tsd import TSDBboxHead
+        p = patch_config_as_nothrow(pBbox)
+        self.p = p
+        num_reg = 2 if (p.regress_target.class_agnostic or False) \
+            else p.num_class
+        self.module = TSDBboxHead(
+            num_class=p.num_class, num_reg_class=num_reg,
+            roi_size=p.roi_size or 7, dtype=_dtype(p), name="bbox_head")
+
+
+class FPNRoIAlign_DeltaC(FPNRoiAlign):
+    """Offset-pooling param holders (reference models/TSD/poolings.py);
+    the deformable pooling itself runs inside TSDFasterRcnn."""
+    pass
+
+
+class FPNRoIAlign_DeltaR(FPNRoiAlign):
+    pass
+
+
+class TSDFasterRcnn(FasterRcnn):
+    """Detector singleton (reference models/TSD/faster_rcnn.py)."""
+
+    @staticmethod
+    def _assemble(backbone, neck, rpn_head, roi_extractor, bbox_head,
+                  p_tsd=None):
+        from simpledet_tpu.models.tsd import TSDFasterRcnn as Module
+        return Module(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            bbox_head=bbox_head.module, p_rpn=rpn_head.p,
+            p_roi=roi_extractor.p, p_bbox=bbox_head.p,
+            p_tsd=patch_config_as_nothrow(p_tsd) if p_tsd else
+            patch_config_as_nothrow(getattr(bbox_head.p, "TSD", None)))
+
+    def get_train_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                         bbox_head, p_tsd=None):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head, p_tsd)
+
+    def get_test_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                        bbox_head, p_tsd=None):
+        return self._assemble(backbone, neck, rpn_head, roi_extractor,
+                              bbox_head, p_tsd)
+
+
 class RepPointsHead:
     def __init__(self, pHead):
         from simpledet_tpu.models.reppoints import RepPointsHead as Impl
@@ -724,6 +774,50 @@ class MaskRcnnSe4convHead:
             num_class=self.p_bbox.num_class,
             dim_reduced=self.p.dim_reduced or 256,
             dtype=_dtype(self.p), name="mask_head")
+
+
+class RetinaNetNeckWithBNWithSEPC(RetinaNetNeckWithBN):
+    """RetinaNet neck + stacked SEPC pyramid convs (reference
+    models/sepc/builder.py:10-50)."""
+
+    def __init__(self, pNeck, pSEPC=None):
+        import flax.linen as nn
+
+        from simpledet_tpu.models import retinanet as retina_mod
+        from simpledet_tpu.models.sepc import SEPCFPN
+        p = patch_config_as_nothrow(pNeck)
+        ps = patch_config_as_nothrow(pSEPC) if pSEPC is not None else None
+        self.p = p
+        dtype = _dtype(p)
+        norm = _norm(p)
+        pconv_num = (ps and ps.Pconv_num) or 4
+        pconv_deform = bool(ps and ps.pconv_deform)
+        lcconv_deform = bool(ps and ps.lcconv_deform)
+        ibn = bool(ps and ps.ibn)
+
+        class _Chain(nn.Module):
+            @nn.compact
+            def __call__(self, feats):
+                fpn = retina_mod.RetinaNetNeck(dtype=dtype, norm=norm,
+                                               name="fpn")
+                sepc = SEPCFPN(pconv_num=pconv_num,
+                               pconv_deform=pconv_deform,
+                               lcconv_deform=lcconv_deform,
+                               ibn=ibn, dtype=dtype, name="sepc")
+                return sepc(fpn(feats))
+
+        self.module = _Chain(name="neck")
+
+
+class RetinaNetHeadWithBNWithSEPC:
+    """Combined-feature retina head (reference models/sepc/builder.py:53)."""
+
+    def __init__(self, pRpn):
+        from simpledet_tpu.models.sepc import SEPCRetinaNetHead
+        p = patch_config_as_nothrow(pRpn)
+        p.dtype = _dtype(p)
+        self.p = p
+        self.impl = SEPCRetinaNetHead(p)
 
 
 class FCOSFPNNeck(RetinaNetNeck):

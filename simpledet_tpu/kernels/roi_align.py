@@ -68,7 +68,8 @@ def roi_align(feat, rois, *, spatial_scale, out_size, mode="max"):
 
 
 def _roi_align_flat(feat_flat, rois, *, row_offset, height, width_arr,
-                    flat_width, spatial_scale, out_size, mode):
+                    flat_width, spatial_scale, out_size, mode,
+                    bin_offset=None, trans_std=0.1):
     """Core: gather-based RoIAlign against a flattened feature tensor.
 
     feat_flat: [sum(H_i*W_i), C]. Per-roi: row_offset (start row of its level
@@ -103,6 +104,15 @@ def _roi_align_flat(feat_flat, rois, *, row_offset, height, width_arr,
     # broadcast to [R, P, P, 2, 2]
     y = ys[:, :, None, :, None] + jnp.zeros((1, 1, out_size, 1, 2), rois.dtype)
     x = xs[:, None, :, None, :] + jnp.zeros((1, out_size, 1, 2, 1), rois.dtype)
+    if bin_offset is not None:
+        # per-bin (dx, dy) in units of roi size * trans_std (the reference's
+        # DeformablePSROIPooling trans semantics, models/TSD/poolings.py)
+        roi_h = (y2 - y1)                                   # [R, 1]
+        roi_w = (x2 - x1)
+        dy = bin_offset[..., 1] * trans_std * roi_h[:, :, None]
+        dx = bin_offset[..., 0] * trans_std * roi_w[:, :, None]
+        y = y + dy[:, :, :, None, None]
+        x = x + dx[:, :, :, None, None]
 
     hb = height[:, None, None, None, None] - 1
     wb = width_arr[:, None, None, None, None] - 1
@@ -133,7 +143,8 @@ def _roi_align_flat(feat_flat, rois, *, row_offset, height, width_arr,
 
 
 def multilevel_roi_align(feats, rois, strides, *, out_size, canonical_scale=224,
-                         canonical_level=4, mode="max"):
+                         canonical_level=4, mode="max", bin_offset=None,
+                         trans_std=0.1):
     """FPN RoI extraction, single image.
 
     feats: list of [H_i, W_i, C] per level (fine -> coarse), strides: matching
@@ -168,4 +179,5 @@ def multilevel_roi_align(feats, rois, strides, *, out_size, canonical_scale=224,
 
     return _roi_align_flat(flat, rois, row_offset=row_offsets, height=heights,
                            width_arr=widths, flat_width=flat_width,
-                           spatial_scale=scales, out_size=out_size, mode=mode)
+                           spatial_scale=scales, out_size=out_size, mode=mode,
+                           bin_offset=bin_offset, trans_std=trans_std)
