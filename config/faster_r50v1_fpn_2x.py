@@ -1,0 +1,6 @@
+"""faster_r50v1_fpn_2x — 2x schedule (reference config/faster_r50v1_fpn_2x.py)."""
+from simpledet_tpu.config_templates import faster_fpn_config
+
+
+def get_config(is_train):
+    return faster_fpn_config(is_train, __name__, depth=50, schedule_mult=2)

@@ -1,0 +1,40 @@
+"""FitNet KD Faster R-CNN (reference config/kd/): student R50 distilling a
+teacher's c4 features via the hint loss; teacher features arrive as the
+teacher_label batch input (models/KD/utils.create_teacher_module)."""
+from simpledet_tpu.config_templates import faster_fpn_config
+
+
+def get_config(is_train):
+    from models.KD.builder import FitNetFasterRcnn, FitNetHead
+    from models.FPN.builder import (MSRAResNet50V1FPN, FPNNeck, FPNRpnHead,
+                                    FPNRoiAlign, FPNBbox2fcHead)
+
+    cfg = list(faster_fpn_config(is_train, __name__, depth=50))
+    General, KvstoreParam, RpnParam = cfg[0], cfg[1], cfg[2]
+    BboxParam, ModelParam = cfg[4], cfg[6]
+
+    class KDParam:
+        channel = 1024
+        stage = "c4"
+        grad_scale = 1.0
+
+    class _B:
+        fp16 = General.fp16
+        normalizer = None
+
+    class RoiParam:
+        fp16 = General.fp16
+        normalizer = None
+        out_size = 7
+        stride = (4, 8, 16, 32)
+        roi_canonical_scale = 224
+        roi_canonical_level = 4
+
+    if is_train:
+        det = FitNetFasterRcnn()
+        ModelParam.train_symbol = det.get_train_symbol(
+            MSRAResNet50V1FPN(_B), FPNNeck(_B), FPNRpnHead(RpnParam),
+            FPNRoiAlign(RoiParam), FPNBbox2fcHead(BboxParam),
+            FitNetHead(KDParam))
+        cfg[11] = ["gt_bbox", "im_info", "teacher_label"]
+    return tuple(cfg)
