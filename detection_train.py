@@ -115,23 +115,47 @@ def train_net(config_path, max_iter_override=None):
 
     iter_per_epoch = (OptimizeParam.schedule.iter_per_epoch
                       or max(len(loader), 1))
+    # optional aux subsystems: profiler window (reference MXNet profiler on
+    # batches 1-10, detection_train.py:274-276 / detection_module.py:998),
+    # scalar summaries (mxboard analog), iter-granular checkpoints
+    # (utils/callback.py:96 do_checkpoint_iter)
+    profile = bool(General.profile)
+    writer = None
+    if General.summary:
+        from simpledet_tpu.utils.logger import SummaryWriter
+        writer = SummaryWriter(exp_dir)
+    ckpt_iter = General.checkpoint_iter  # e.g. 5000 -> save every 5k iters
+
     step_rng = jax.random.PRNGKey(42)
     n_iter = 0
     for epoch in range(begin_epoch, end_epoch):
         logger.info(f"starting epoch {epoch}")
         for batch in loader:
+            if profile and n_iter == 1:
+                jax.profiler.start_trace(os.path.join(exp_dir, "profile"))
             batch.pop("valid", None)
             dev_batch = shard_batch(batch, mesh)
             state, losses, aux = step_fn(state, dev_batch,
                                          jax.random.fold_in(step_rng, n_iter))
             n_iter += 1
+            if profile and n_iter == 10:
+                jax.tree.map(lambda x: x.block_until_ready(), losses)
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {exp_dir}/profile")
             if n_iter % (General.log_frequency or 10) == 0:
                 aux_host = jax.tree.map(np.asarray, aux)
                 aux_host.update(jax.tree.map(np.asarray, losses))
                 metrics.update(aux_host)
+                if writer:
+                    for k, v in losses.items():
+                        writer.add_scalar(f"train/{k}", float(np.asarray(v)),
+                                          n_iter)
                 speedo(epoch, n_iter, metrics, lr=float(sched(n_iter)))
             else:
                 speedo(epoch, n_iter)
+            if ckpt_iter and n_iter % ckpt_iter == 0:
+                save_checkpoint(prefix + "_iter", n_iter, state.params,
+                                state.opt_state)
             if max_iter_override and n_iter >= max_iter_override:
                 break
         save_checkpoint(prefix, epoch + 1, state.params, state.opt_state)
