@@ -125,17 +125,17 @@ def mask_test_net(config_path, max_images=None):
     with open(ann) as f:
         gt = json.load(f)
     # rasterize gt polygons to binary masks for the in-repo segm evaluator
-    import cv2
+    # (native C++ scanline fill when built; cv2 fallback inside native pkg)
+    from simpledet_tpu import native
     img_hw = {im["id"]: (im["height"], im["width"]) for im in gt["images"]}
     for a in gt.get("annotations", []):
         seg = a.get("segmentation")
         h, w = img_hw[a["image_id"]]
-        m = np.zeros((h, w), np.uint8)
-        if isinstance(seg, list):
-            for poly in seg:
-                pts = np.asarray(poly, np.float64).reshape(-1, 2)
-                cv2.fillPoly(m, [np.round(pts).astype(np.int32)], 1)
-        a["_mask"] = m
+        if isinstance(seg, list) and seg:
+            polys = [np.asarray(p, np.float64) for p in seg]
+            a["_mask"] = native.rasterize_polygons(polys, int(h), int(w))
+        else:
+            a["_mask"] = np.zeros((int(h), int(w)), np.uint8)
 
     summaries = {}
     for iou_type in ("bbox", "segm"):
