@@ -42,6 +42,23 @@ def nms_keep_sorted(sorted_boxes, sorted_valid, thr, legacy_plus_one=True):
     return keep & sorted_valid
 
 
+def _keep_fn(sboxes, svalid, thr, legacy_plus_one):
+    """Dispatch: Pallas VMEM-resident kernel on TPU, lax.scan elsewhere.
+    Override with SIMPLEDET_NO_PALLAS=1."""
+    import os
+    if os.environ.get("SIMPLEDET_NO_PALLAS"):
+        return nms_keep_sorted(sboxes, svalid, thr, legacy_plus_one)
+    try:
+        from simpledet_tpu.kernels.nms_pallas import (nms_keep_sorted_pallas,
+                                                      pallas_available)
+        if pallas_available():
+            return nms_keep_sorted_pallas(sboxes, svalid, thr,
+                                          legacy_plus_one)
+    except Exception:  # pragma: no cover
+        pass
+    return nms_keep_sorted(sboxes, svalid, thr, legacy_plus_one)
+
+
 def nms(boxes, scores, thr, max_out, valid=None, legacy_plus_one=True):
     """Greedy NMS. boxes [N,4], scores [N] -> (boxes [max_out,4], scores [max_out],
     idx [max_out] into the input, valid_out [max_out] bool), ordered by score.
@@ -55,7 +72,7 @@ def nms(boxes, scores, thr, max_out, valid=None, legacy_plus_one=True):
     order = jnp.argsort(-masked_scores)
     sboxes = boxes[order]
     svalid = valid[order]
-    keep = nms_keep_sorted(sboxes, svalid, thr, legacy_plus_one)
+    keep = _keep_fn(sboxes, svalid, thr, legacy_plus_one)
 
     # Compact kept boxes to the front, preserving score order:
     # rank of each kept row = cumsum(keep) - 1; non-kept rows pushed to the back.
