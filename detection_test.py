@@ -71,51 +71,119 @@ def test_net(config_path, max_images=None):
     fwd = jax.jit(lambda p, d, ii: model.apply({"params": p}, d, ii,
                                                mode="test"))
 
-    loader = Loader(roidb, transform, 1, shuffle=False, num_workers=4,
-                    keys=("data", "im_info", "im_id"), pad_last=False,
-                    aspect_grouping=True)
-
     nms_type = TestParam.nms.type or "nms"
     if nms_type not in ("softnms", "setnms"):
         nms_type = "nms"
+    post = lambda s, b, **k: per_class_nms(
+        s, b, score_thr=TestParam.min_det_score or 0.05,
+        nms_thr=TestParam.nms.thr or 0.5,
+        max_det=TestParam.max_det_per_image or 100,
+        nms_type=nms_type, **k)
+
+    # multi-scale / flip test-time aggregation (reference
+    # detection_test.py:197-218): raw per-class outputs from every
+    # (scale, flip) pass are concatenated per image in ORIGINAL coordinates
+    # before the single per-class NMS.
+    scales = TestParam.scales            # e.g. [(600, 1000), (800, 1333)]
+    use_flip = bool(TestParam.flip)
+    aggregate = bool(scales) or use_flip
+
+    def passes():
+        """(transform, flipped) pairs for every test pass."""
+        if not aggregate:
+            yield transform, False
+            return
+        from simpledet_tpu.data.transforms import Resize2DImageBbox
+        for short, long_ in (scales or [(None, None)]):
+            tf = list(transform)
+            if short is not None:
+                class _R:
+                    pass
+                _R.short, _R.long = short, long_
+                tf = [t if not isinstance(t, Resize2DImageBbox)
+                      else Resize2DImageBbox(_R) for t in tf]
+            yield tf, False
+            if use_flip:
+                yield tf, True
+
+    raw = {}                             # im_id -> list of (score, boxes)
     detections = []
     t0 = time.time()
     n_done = 0
-    for batch in loader:
-        out = fwd(params, jnp.asarray(batch["data"]),
-                  jnp.asarray(batch["im_info"]))
-        kw = {}
-        post = lambda s, b, **k: per_class_nms(
-            s, b, score_thr=TestParam.min_det_score or 0.05,
-            nms_thr=TestParam.nms.thr or 0.5,
-            max_det=TestParam.max_det_per_image or 100,
-            nms_type=nms_type, **k)
-        if nms_type == "setnms" and "set_index" in out:
-            boxes, scores, classes, valid = jax.vmap(
-                lambda s, b, si: post(s, b, set_index=si))(
-                out["cls_score"], out["bbox_xyxy"], out["set_index"])
-        else:
-            boxes, scores, classes, valid = jax.vmap(post)(
-                out["cls_score"], out["bbox_xyxy"])
-        boxes = np.asarray(boxes)
-        scores = np.asarray(scores)
-        classes = np.asarray(classes)
-        valid = np.asarray(valid)
-        for b in range(len(batch["im_id"])):
-            if not batch["valid"][b]:
+    for tf, flipped in passes():
+        loader = Loader(roidb, tf, 1, shuffle=False, num_workers=4,
+                        keys=("data", "im_info", "im_id"), pad_last=False,
+                        aspect_grouping=True)
+        for batch in loader:
+            data = np.asarray(batch["data"])
+            if flipped:
+                data = data[:, :, ::-1]
+            out = fwd(params, jnp.asarray(data),
+                      jnp.asarray(batch["im_info"]))
+            if aggregate:
+                score_np = np.asarray(out["cls_score"])
+                boxes_np = np.asarray(out["bbox_xyxy"])
+                for b in range(len(batch["im_id"])):
+                    if not batch["valid"][b]:
+                        continue
+                    s = float(batch["im_info"][b][2])
+                    w_resized = float(batch["im_info"][b][1])
+                    bx = boxes_np[b].copy()
+                    if flipped:
+                        c4 = bx.reshape(bx.shape[0], -1, 4)
+                        x1 = c4[..., 0].copy()
+                        c4[..., 0] = w_resized - 1 - c4[..., 2]
+                        c4[..., 2] = w_resized - 1 - x1
+                        bx = c4.reshape(bx.shape)
+                    raw.setdefault(int(batch["im_id"][b]), []).append(
+                        (score_np[b], bx / s))
                 continue
-            scale = float(batch["im_info"][b][2])
-            im_id = int(batch["im_id"][b])
-            for j in range(valid.shape[1]):
-                if not valid[b, j]:
+            if nms_type == "setnms" and "set_index" in out:
+                boxes, scores, classes, valid = jax.vmap(
+                    lambda s, b, si: post(s, b, set_index=si))(
+                    out["cls_score"], out["bbox_xyxy"], out["set_index"])
+            else:
+                boxes, scores, classes, valid = jax.vmap(post)(
+                    out["cls_score"], out["bbox_xyxy"])
+            boxes = np.asarray(boxes)
+            scores = np.asarray(scores)
+            classes = np.asarray(classes)
+            valid = np.asarray(valid)
+            for b in range(len(batch["im_id"])):
+                if not batch["valid"][b]:
                     continue
-                x1, y1, x2, y2 = boxes[b, j] / scale
+                scale = float(batch["im_info"][b][2])
+                im_id = int(batch["im_id"][b])
+                for j in range(valid.shape[1]):
+                    if not valid[b, j]:
+                        continue
+                    x1, y1, x2, y2 = boxes[b, j] / scale
+                    detections.append({
+                        "image_id": im_id,
+                        "category_id": int(classes[b, j]),
+                        "bbox": [float(x1), float(y1),
+                                 float(x2 - x1 + 1), float(y2 - y1 + 1)],
+                        "score": float(scores[b, j]),
+                    })
+                n_done += 1
+
+    if aggregate:
+        for im_id, parts in raw.items():
+            score = jnp.asarray(np.concatenate([p[0] for p in parts], 0))
+            bx = jnp.asarray(np.concatenate([p[1] for p in parts], 0))
+            boxes, scores, classes, valid = post(score, bx)
+            boxes, scores = np.asarray(boxes), np.asarray(scores)
+            classes, valid = np.asarray(classes), np.asarray(valid)
+            for j in range(len(valid)):
+                if not valid[j]:
+                    continue
+                x1, y1, x2, y2 = boxes[j]
                 detections.append({
                     "image_id": im_id,
-                    "category_id": int(classes[b, j]),
+                    "category_id": int(classes[j]),
                     "bbox": [float(x1), float(y1),
                              float(x2 - x1 + 1), float(y2 - y1 + 1)],
-                    "score": float(scores[b, j]),
+                    "score": float(scores[j]),
                 })
             n_done += 1
     logger.info(f"inference done: {n_done} images in {time.time()-t0:.1f}s "
