@@ -9,3 +9,7 @@ from simpledet_tpu.core.metrics import (  # noqa: F401
     ScalarLoss,
     SigmoidCrossEntropy,
 )
+from simpledet_tpu.core.metrics import (  # noqa: F401,E402
+    EvalMetricWithSummary,
+    FgCeWithIgnore,
+)

@@ -11,3 +11,9 @@ from simpledet_tpu.dsl import (  # noqa: F401
     FPNRoiAlign,
     FPNBbox2fcHead,
 )
+from simpledet_tpu.dsl import (  # noqa: F401,E402
+    Bbox1conv2fcHead,
+    Bbox4conv1fcHead,
+    ResNeXt50FPN,
+    ResNeXt101FPN,
+)

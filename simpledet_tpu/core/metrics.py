@@ -73,6 +73,37 @@ class CeWithIgnore(EvalMetric):
         self.num_inst += float(keep.sum())
 
 
+class FgCeWithIgnore(CeWithIgnore):
+    """CE restricted to foreground labels (reference
+    core/detection_metric.py:111)."""
+
+    def update(self, aux):
+        pred, label = self._fetch(aux)[:2]
+        label = np.asarray(label).reshape(-1).copy()
+        label[label == 0] = -1
+        aux2 = dict(aux)
+        aux2[self.output_names[1]] = label.reshape(
+            np.asarray(aux[self.output_names[1]]).shape)
+        super().update(aux2)
+
+
+class EvalMetricWithSummary(EvalMetric):
+    """EvalMetric that mirrors values into a SummaryWriter (reference
+    core/detection_metric.py:5-38 with mxboard)."""
+
+    def __init__(self, name, output_names, label_names=(), writer=None):
+        super().__init__(name, output_names, label_names)
+        self.writer = writer
+        self.step = 0
+
+    def get(self):
+        name, val = super().get()
+        if self.writer is not None and self.num_inst > 0:
+            self.step += 1
+            self.writer.add_scalar(name, val, self.step)
+        return name, val
+
+
 class ScalarLoss(EvalMetric):
     """mean of a scalar loss output (reference ScalarLoss:173)."""
 

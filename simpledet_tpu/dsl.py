@@ -67,6 +67,18 @@ class ResNet50V1dFPN(_BackboneBase):
     depth, variant, num_stages = 50, "v1d", 4
 
 
+class ResNeXt50FPN(_BackboneBase):
+    depth, variant, num_stages = 50, "x", 4
+
+
+class ResNeXt101FPN(_BackboneBase):
+    depth, variant, num_stages = 101, "x", 4
+
+
+class ResNeXt101C4(_BackboneBase):
+    depth, variant, num_stages = 101, "x", 3
+
+
 class MSRAResNet50V1C4(_BackboneBase):
     depth, variant, num_stages = 50, "v1", 3
 
@@ -145,6 +157,34 @@ class FPNBbox2fcHead:
 
 
 Bbox2fcHead = FPNBbox2fcHead
+
+
+class Bbox1conv2fcHead:
+    """1conv2fc head (reference symbol/builder.py:482)."""
+
+    def __init__(self, pBbox):
+        p = patch_config_as_nothrow(pBbox)
+        self.p = p
+        num_reg = 2 if (p.regress_target.class_agnostic or False) \
+            else p.num_class
+        self.module = heads_mod.Bbox1conv2fcHead(
+            num_class=p.num_class, num_reg_class=num_reg, dtype=_dtype(p),
+            norm=_norm(p) if (p.normalizer and getattr(p.normalizer, "type",
+                                                       "") == "gn") else None,
+            name="bbox_head")
+
+
+class Bbox4conv1fcHead:
+    """4conv1fc head (reference symbol/builder.py:516)."""
+
+    def __init__(self, pBbox):
+        p = patch_config_as_nothrow(pBbox)
+        self.p = p
+        num_reg = 2 if (p.regress_target.class_agnostic or False) \
+            else p.num_class
+        self.module = heads_mod.Bbox4conv1fcHead(
+            num_class=p.num_class, num_reg_class=num_reg, dtype=_dtype(p),
+            name="bbox_head")
 
 
 class FasterRcnn:

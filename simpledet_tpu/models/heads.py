@@ -49,6 +49,40 @@ class Bbox2fcHead(nn.Module):
         return cls_logit, bbox_delta
 
 
+class Bbox1conv2fcHead(nn.Module):
+    """1x 3x3 conv + 2 fc (reference symbol/builder.py:482-513)."""
+    num_class: int
+    num_reg_class: int
+    conv_channel: int = 256
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat):
+        b, r, p, _, c = roi_feat.shape
+        x = roi_feat.reshape(b * r, p, p, c).astype(self.dtype)
+        x = nn.Conv(self.conv_channel, (3, 3),
+                    kernel_init=nn.initializers.normal(0.01),
+                    dtype=self.dtype, name="conv1")(x)
+        if self.norm is not None:
+            x = self.norm(name="conv1_norm")(x)
+        x = nn.relu(x)
+        x = x.reshape(b, r, -1)
+        x = nn.Dense(1024, kernel_init=xavier_in_uniform, dtype=self.dtype,
+                     name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(1024, kernel_init=xavier_in_uniform, dtype=self.dtype,
+                     name="fc2")(x)
+        x = nn.relu(x).astype(jnp.float32)
+        cls_logit = nn.Dense(self.num_class,
+                             kernel_init=nn.initializers.normal(0.01),
+                             name="cls_logit")(x)
+        bbox_delta = nn.Dense(4 * self.num_reg_class,
+                              kernel_init=nn.initializers.normal(0.001),
+                              name="bbox_delta")(x)
+        return cls_logit, bbox_delta
+
+
 class Bbox4conv1fcHead(nn.Module):
     """4x 3x3 conv (256) + 1 fc (Bbox4conv1fcHead, symbol/builder.py:516-553)."""
     num_class: int

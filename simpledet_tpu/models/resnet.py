@@ -70,6 +70,45 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class ResNeXtBottleneck(nn.Module):
+    """Grouped-conv bottleneck (mxnext.backbone.resnext): 32x4d convention —
+    inner width = filters * 2, 3x3 conv with 32 groups."""
+    filters: int
+    stride: int
+    norm: Callable
+    variant: str = "x"
+    dtype: Any = jnp.float32
+    dilation: int = 1
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dilation
+        width = self.filters * 2
+        residual = x
+        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+                    use_bias=False, kernel_dilation=(d, d),
+                    padding=((d, d), (d, d)),
+                    feature_group_count=self.groups,
+                    dtype=self.dtype, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if residual.shape[-1] != self.filters * 4 or self.stride != 1:
+            residual = nn.Conv(self.filters * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="sc_conv")(residual)
+            residual = self.norm(name="sc_bn")(residual)
+        return nn.relu(y + residual)
+
+
 class BottleneckV2(nn.Module):
     """Pre-activation bottleneck (ResNet v2), used by TridentNet backbones."""
     filters: int
@@ -147,7 +186,12 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         feats = {}
-        block_cls = BottleneckV2 if self.variant == "v2" else Bottleneck
+        if self.variant == "v2":
+            block_cls = BottleneckV2
+        elif self.variant == "x":
+            block_cls = ResNeXtBottleneck
+        else:
+            block_cls = Bottleneck
         filters = (64, 128, 256, 512)
         for stage in range(self.num_stages):
             n_unit = units[stage]

@@ -8,3 +8,12 @@ from simpledet_tpu.dsl import (  # noqa: F401
     RoiAlign,
     add_anchor_to_arg,
 )
+from simpledet_tpu.dsl import (  # noqa: F401,E402
+    Bbox1conv2fcHead,
+    Bbox4conv1fcHead,
+    BboxC5Head,
+    BboxC5V1Head,
+    BboxResNeXtC5Head,
+    MSRAResNet50V1C4,
+    MSRAResNet101V1C4,
+)
