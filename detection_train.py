@@ -31,6 +31,11 @@ def train_net(config_path, max_iter_override=None):
 
     from simpledet_tpu.core.config import patch_all
 
+    # multi-host: one mechanism replaces the reference's kvstore/PS stack
+    # (doc/DISTRIBUTED.md) — initialize the global mesh when on a pod slice
+    if os.environ.get("SIMPLEDET_DISTRIBUTED"):
+        jax.distributed.initialize()
+
     cfg = load_config(config_path)
     (General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
      ModelParam, OptimizeParam, TestParam, transform, data_name, label_name,
