@@ -37,16 +37,39 @@ class FrozenBN(nn.Module):
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+class SyncBN(nn.Module):
+    """Batch norm with statistics computed on the fly over (batch, H, W).
+
+    Under pjit the batch axis is sharded over the whole mesh, so this mean
+    IS the cross-device synchronized statistic (strictly more general than
+    the reference's single-process SyncBatchNorm barrier,
+    operator_cxx/contrib/sync_batch_norm-inl.h:88-221). No running-average
+    state is kept — stateless under jit; for inference-from-checkpoint use
+    fixbn with folded statistics (utils/graph_optimize.fold_bn_stats).
+    """
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean((xf - mean) ** 2, axis=axes)
+        scale = gamma / jnp.sqrt(var + self.epsilon)
+        return (xf * scale + (beta - mean * scale)).astype(x.dtype)
+
+
 def normalizer_factory(type="fixbn", ndev=None, eps=1e-5, group=32):
     """Returns a callable (name -> norm module). type in
-    {fixbn, syncbn, localbn, gn, dummy}."""
+    {fixbn, fix, syncbn, localbn, gn, dummy}."""
     def make(name=None, momentum=0.9):
-        if type == "fixbn":
+        if type in ("fixbn", "fix"):
             return FrozenBN(epsilon=eps, name=name)
         if type in ("syncbn", "localbn"):
-            # batch stats over the global sharded batch == sync BN
-            return nn.BatchNorm(use_running_average=False, momentum=momentum,
-                                epsilon=eps, name=name, axis_name=None)
+            return SyncBN(epsilon=eps, name=name)
         if type == "gn":
             return nn.GroupNorm(num_groups=group, epsilon=eps, name=name)
         if type == "dummy":
