@@ -181,3 +181,33 @@ def multilevel_roi_align(feats, rois, strides, *, out_size, canonical_scale=224,
                            width_arr=widths, flat_width=flat_width,
                            spatial_scale=scales, out_size=out_size, mode=mode,
                            bin_offset=bin_offset, trans_std=trans_std)
+
+
+def roi_pool(feat, rois, *, spatial_scale, out_size, samples=4):
+    """Legacy max RoIPooling (reference roi_pooling_v1{-inl.h,.cc,.cu}):
+    integer bin boundaries, max over each bin — realized as a dense
+    samples x samples nearest-neighbor max per bin (gather-based, static
+    cost; exact when samples covers the bin). RoIAlign is the production
+    path; this exists for parity. feat [H, W, C]; rois [R, 4] ->
+    [R, P, P, C]."""
+    h, w, _ = feat.shape
+    p = out_size
+    x1 = jnp.round(rois[:, 0:1] * spatial_scale)
+    y1 = jnp.round(rois[:, 1:2] * spatial_scale)
+    x2 = jnp.round(rois[:, 2:3] * spatial_scale)
+    y2 = jnp.round(rois[:, 3:4] * spatial_scale)
+    rw = jnp.maximum(x2 - x1 + 1.0, 1.0)
+    rh = jnp.maximum(y2 - y1 + 1.0, 1.0)
+
+    grid = (jnp.arange(p * samples, dtype=feat.dtype) + 0.5) / samples
+    ys = y1 + grid[None, :] * rh / p                       # [R, P*S]
+    xs = x1 + grid[None, :] * rw / p
+    yi = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
+    xi = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
+
+    def per_roi(yr, xr):
+        vals = feat[yr[:, None], xr[None, :]]              # [P*S, P*S, C]
+        v = vals.reshape(p, samples, p, samples, -1)
+        return jnp.max(v, axis=(1, 3))
+
+    return jax.vmap(per_roi)(yi, xi)
