@@ -28,15 +28,18 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, thr, n,
-                legacy_plus_one):
+def _nms_kernel(boxes_ref, keep_ref, *, thr, n, legacy_plus_one):
+    # boxes_ref: [N, 8] rows (x1, y1, x2, y2, valid, pad...) — the valid
+    # flag rides in the box tensor so every pallas operand keeps 2D blocks
+    # whose trailing dims equal the array dims (vmap batching then only adds
+    # a leading grid dimension, which Mosaic supports).
     off = 1.0 if legacy_plus_one else 0.0
     x1 = boxes_ref[:, 0].reshape(1, n)
     y1 = boxes_ref[:, 1].reshape(1, n)
     x2 = boxes_ref[:, 2].reshape(1, n)
     y2 = boxes_ref[:, 3].reshape(1, n)
     area = (x2 - x1 + off) * (y2 - y1 + off)
-    valid = valid_ref[:].reshape(1, n)
+    valid = boxes_ref[:, 4].reshape(1, n)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def body(i, state):
@@ -66,7 +69,7 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, thr, n,
     suppressed0 = jnp.zeros((1, n), jnp.float32)
     keep0 = jnp.zeros((1, n), jnp.float32)
     _, keep = jax.lax.fori_loop(0, n, body, (suppressed0, keep0))
-    keep_ref[:] = keep.reshape(n)
+    keep_ref[:, :] = keep.reshape(n // 128, 128)
 
 
 @functools.partial(jax.jit,
@@ -77,17 +80,18 @@ def nms_keep_sorted_pallas(sorted_boxes, sorted_valid, thr,
     sorted_valid [N] bool -> keep [N] bool. N padded to a lane multiple."""
     n = sorted_boxes.shape[0]
     pad = (-n) % 128
-    boxes = jnp.pad(sorted_boxes.astype(jnp.float32), ((0, pad), (0, 0)))
-    valid = jnp.pad(sorted_valid.astype(jnp.float32), (0, pad))
     np_ = n + pad
+    packed = jnp.zeros((np_, 8), jnp.float32)
+    packed = packed.at[:n, :4].set(sorted_boxes.astype(jnp.float32))
+    packed = packed.at[:n, 4].set(sorted_valid.astype(jnp.float32))
 
     keep = pl.pallas_call(
         functools.partial(_nms_kernel, thr=float(thr), n=np_,
                           legacy_plus_one=legacy_plus_one),
-        out_shape=jax.ShapeDtypeStruct((np_,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((np_ // 128, 128), jnp.float32),
         interpret=interpret,
-    )(boxes, valid)
-    return keep[:n] > 0.5
+    )(packed)
+    return keep.reshape(np_)[:n] > 0.5
 
 
 def pallas_available():

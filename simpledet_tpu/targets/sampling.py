@@ -49,9 +49,16 @@ def subsample_labels(rng, label, num_sample, fg_fraction, deterministic=False):
     label: [N] with {1: fg, 0: bg, -1: ignore}. Keep at most
     num_fg = fg_fraction*num_sample positives (random subset; excess -> -1),
     then at most num_sample - kept_fg backgrounds. Returns new label.
+
+    Implementation note: the bg selection needs a DYNAMIC count
+    (num_sample - kept fg). An argsort over all N anchors (~270k at
+    800x1333) costs tens of ms on TPU; instead top_k picks num_sample
+    random bg candidates (sorted by priority) and a rank-prefix mask keeps
+    the first num_bg — identical distribution, ~10x cheaper.
     """
     rng_fg, rng_bg = jax.random.split(rng)
     num_fg = int(fg_fraction * num_sample)
+    n = label.shape[0]
 
     fg_mask = label == 1
     keep_fg = random_topk_mask(rng_fg, fg_mask, num_fg, deterministic)
@@ -60,6 +67,10 @@ def subsample_labels(rng, label, num_sample, fg_fraction, deterministic=False):
     n_fg_kept = jnp.sum(label == 1)
     num_bg = num_sample - n_fg_kept
     bg_mask = label == 0
-    bg_rank = random_rank(rng_bg, bg_mask, deterministic)
-    label = jnp.where(bg_mask & (bg_rank >= num_bg), -1.0, label)
+    prio = jnp.where(bg_mask, _priorities(rng_bg, n, deterministic), -jnp.inf)
+    vals, idx = jax.lax.top_k(prio, num_sample)     # sorted descending
+    pos = jnp.arange(num_sample)
+    sel = (pos < num_bg) & jnp.isfinite(vals)
+    keep_bg = jnp.zeros((n,), bool).at[idx].set(sel)
+    label = jnp.where(bg_mask & ~keep_bg, -1.0, label)
     return label
