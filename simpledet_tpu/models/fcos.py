@@ -28,6 +28,7 @@ import numpy as np
 
 from simpledet_tpu.models.rpn import feature_shape
 from simpledet_tpu.ops.nms import NEG_INF
+from simpledet_tpu.ops.topk import fast_top_k
 
 STAGE_BOUNDS = ((-1e5, 64.), (64., 128.), (128., 256.), (256., 512.),
                 (512., 1e10))
@@ -238,7 +239,7 @@ class FCOSHead:
             score = cls_prob * ctr_prob
             flat = jnp.where(cand, score, NEG_INF).reshape(-1)
             k = min(top_n, flat.shape[0])
-            top_scores, idx = jax.lax.top_k(flat, k)
+            top_scores, idx = fast_top_k(flat, k)
             loc_idx = idx // nfg
             cls_idx = idx % nfg
             o = off.reshape(-1, 4)[loc_idx]

@@ -25,6 +25,7 @@ from simpledet_tpu.models.retinanet import RetinaNet, RetinaNetHead
 from simpledet_tpu.ops.bbox import bbox_overlaps, clip_boxes, decode_boxes, \
     encode_boxes
 from simpledet_tpu.ops.losses import smooth_l1
+from simpledet_tpu.ops.topk import fast_top_k
 
 
 def _positive_loss(anchors, gt, cls_prob, bbox_pred, *, alpha, top_n,
@@ -128,7 +129,7 @@ class FreeAnchorRetinaNetHead(RetinaNetHead):
         def per_image(cp, bp, ii):
             mx = jnp.max(cp, -1)
             k = min(top_n, mx.shape[0])
-            _, idx = jax.lax.top_k(mx, k)
+            _, idx = fast_top_k(mx, k)
             boxes = decode_boxes(anchors[idx], bp[idx], means=mean, stds=std)
             boxes = clip_boxes(boxes, ii[:2])
             scores = cp[idx]                                # [K, C-1]

@@ -25,6 +25,7 @@ import numpy as np
 from simpledet_tpu.ops.deform_conv import batched_deform_conv2d
 from simpledet_tpu.ops.losses import sigmoid_focal_loss, smooth_l1
 from simpledet_tpu.ops.nms import NEG_INF
+from simpledet_tpu.ops.topk import fast_top_k
 from simpledet_tpu.ops.points import (gen_dcn_offsets, gen_points, iou_assign,
                                       offset_to_pts, point_assign,
                                       points2bbox)
@@ -245,7 +246,7 @@ class RepPointsHead:
                 prob = jax.nn.sigmoid(logit.reshape(n, -1))
                 flat = jnp.where(prob > thresh, prob, NEG_INF).reshape(-1)
                 k = min(top_n, flat.shape[0])
-                sc, idx = jax.lax.top_k(flat, k)
+                sc, idx = fast_top_k(flat, k)
                 loc_idx = idx // self.num_fg_class
                 cls_idx = idx % self.num_fg_class
                 ok = sc > NEG_INF / 2

@@ -30,6 +30,7 @@ from simpledet_tpu.ops.anchors import generate_anchor_grid
 from simpledet_tpu.ops.bbox import clip_boxes, decode_boxes
 from simpledet_tpu.ops.losses import sigmoid_focal_loss, smooth_l1
 from simpledet_tpu.ops.nms import NEG_INF
+from simpledet_tpu.ops.topk import fast_top_k
 from simpledet_tpu.targets.retina_target import batched_retina_anchor_target
 
 
@@ -228,7 +229,7 @@ class RetinaNetHead:
             flat = prob.reshape(-1)
             k = min(top_n, flat.shape[0])
             masked = jnp.where(flat > thr, flat, NEG_INF)
-            top_scores, top_idx = jax.lax.top_k(masked, k)
+            top_scores, top_idx = fast_top_k(masked, k)
             a_idx = top_idx // nfg
             cls_idx = top_idx % nfg
             boxes = decode_boxes(anc[a_idx], delta[a_idx],

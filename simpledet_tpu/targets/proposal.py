@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from simpledet_tpu.ops.bbox import clip_boxes, decode_boxes
 from simpledet_tpu.ops.nms import NEG_INF, nms
+from simpledet_tpu.ops.topk import fast_top_k
 
 
 def gen_proposals(scores, deltas, anchors, im_hw, *,
@@ -36,7 +37,7 @@ def gen_proposals(scores, deltas, anchors, im_hw, *,
     masked = jnp.where(valid, scores, NEG_INF)
 
     k = min(pre_nms_top_n, scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_scores, top_idx = fast_top_k(masked, k)
     top_boxes = boxes[top_idx]
     top_valid = top_scores > NEG_INF / 2
 
