@@ -185,23 +185,49 @@ def multilevel_roi_align_gather(feats, rois, strides, *, out_size,
 def multilevel_roi_align(feats, rois, strides, *, out_size,
                          canonical_scale=224, canonical_level=4, mode="max",
                          bin_offset=None, trans_std=0.1, crop=None):
-    """FPN RoI extraction, single image — crop + MXU interpolation.
+    """Single-image wrapper over batched_multilevel_roi_align.
 
-    feats: list of [H_i, W_i, C] per level (fine -> coarse); rois: [R, 4].
-    Returns [R, out_size, out_size, C].
+    NOTE: do NOT jax.vmap this over a batch — vmapping the internal
+    dynamic_slice lowers to a full-feature-map gather/select (OOM at
+    flagship shapes). Call batched_multilevel_roi_align instead.
+    """
+    if bin_offset is not None:
+        # deformable (per-bin offset) pooling: gather path (TSD only — two
+        # small pools per step)
+        return multilevel_roi_align_gather(
+            feats, rois, strides, out_size=out_size,
+            canonical_scale=canonical_scale, canonical_level=canonical_level,
+            mode=mode, bin_offset=bin_offset, trans_std=trans_std)
+    out = batched_multilevel_roi_align(
+        [f[None] for f in feats], rois[None], strides, out_size=out_size,
+        canonical_scale=canonical_scale, canonical_level=canonical_level,
+        mode=mode, crop=crop)
+    return out[0]
+
+
+def batched_multilevel_roi_align(feats, rois, strides, *, out_size,
+                                 canonical_scale=224, canonical_level=4,
+                                 mode="max", crop=None):
+    """FPN RoI extraction — crop + MXU interpolation, batched.
+
+    feats: list of [B, H_i, W_i, C] per level (fine -> coarse);
+    rois: [B, R, 4]. Returns [B, R, out_size, out_size, C].
 
     TPU note: XLA lowers large generic gathers to a serial per-index loop
     (measured ~500ms for the 100k-row gather a 512-roi RoIAlign needs), so
     instead each roi dynamic_slices a fixed crop x crop window from its
-    assigned level and interpolates with per-axis one-hot bilinear weight
+    (image, level) and interpolates with per-axis one-hot bilinear weight
     matrices via einsum on the MXU — zero gathers, contiguous backward
-    (dynamic_update_slice accumulation). The crop covers every roi the FPN
-    assignment rule can produce at standard shapes (a max-level roi of the
-    full long side spans ~long/max_stride cells), so results are exactly the
-    gather path's; parity is asserted in tests/test_roi_align.py.
+    (dynamic_update_slice accumulation). The scan runs over ALL (image, roi)
+    pairs; never vmap it. The crop covers every roi the FPN assignment rule
+    produces at standard shapes; parity vs the gather oracle is asserted in
+    tests/test_roi_align.py.
     """
     import math
     p = out_size
+    b, r_per = rois.shape[:2]
+    rois = rois.reshape(b * r_per, 4)
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r_per)
     r = rois.shape[0]
     c = feats[0].shape[-1]
     n_level = len(feats)
@@ -217,7 +243,7 @@ def multilevel_roi_align(feats, rois, strides, *, out_size,
         # canonical*2^(l-canonical_level) <= sqrt(area) < 2x that, so spans
         # < 2*canonical/2^canonical_level cells at its level. Clamped rois at
         # the coarsest level span up to longest_side/max_stride cells.
-        longest = max(max(f.shape[0], f.shape[1]) * s
+        longest = max(max(f.shape[1], f.shape[2]) * s
                       for f, s in zip(feats, strides))
         unclamped = 2.0 * canonical_scale / (2 ** canonical_level)
         crop = int(np.ceil(max(unclamped + 4,
@@ -237,8 +263,8 @@ def multilevel_roi_align(feats, rois, strides, *, out_size,
     needed = jnp.clip(needed, 0, n_level - 1).astype(jnp.int32)
     lvl_idx = jnp.maximum(lvl_idx, needed)
 
-    heights = jnp.asarray([f.shape[0] for f in feats], jnp.int32)[lvl_idx]
-    widths = jnp.asarray([f.shape[1] for f in feats], jnp.int32)[lvl_idx]
+    heights = jnp.asarray([f.shape[1] for f in feats], jnp.int32)[lvl_idx]
+    widths = jnp.asarray([f.shape[2] for f in feats], jnp.int32)[lvl_idx]
     scales = jnp.asarray([1.0 / s for s in strides], rois.dtype)[lvl_idx]
 
     # ---- absolute sample coords in level-cell space (reference semantics:
@@ -263,21 +289,6 @@ def multilevel_roi_align(feats, rois, strides, *, out_size,
     fr = jnp.asarray([1.0 / 3.0, 2.0 / 3.0], rois.dtype)
     ys = hstart[:, :, None] + (hend - hstart)[:, :, None] * fr  # [R, P, 2]
     xs = wstart[:, :, None] + (wend - wstart)[:, :, None] * fr
-    if bin_offset is not None:
-        # DeformablePSROIPooling trans semantics (models/TSD/poolings.py):
-        # per-bin (dx, dy) in units of roi size * trans_std. Offsets vary by
-        # (y-bin, x-bin) so coords become per-(bin, bin) grids.
-        dy = bin_offset[..., 1] * trans_std * (y2 - y1)[:, :, None]  # [R,P,P]
-        dx = bin_offset[..., 0] * trans_std * (x2 - x1)[:, :, None]
-        ys2 = ys[:, :, None, :] + dy[..., None]           # [R, P, P, 2]
-        xs2 = xs[:, None, :, :] + dx[..., None]
-        ys_flat = ys2.transpose(0, 1, 3, 2).reshape(r, p * 2, p)
-        # deformable path needs per-bin-pair coords; fall back to the
-        # gather implementation (rare: TSD only, 2 small pools per step)
-        return multilevel_roi_align_gather(
-            feats, rois, strides, out_size=out_size,
-            canonical_scale=canonical_scale, canonical_level=canonical_level,
-            mode=mode, bin_offset=bin_offset, trans_std=trans_std)
 
     ys = jnp.clip(ys, 0.0, hmax[..., None]).reshape(r, p * 2)
     xs = jnp.clip(xs, 0.0, wmax[..., None]).reshape(r, p * 2)
@@ -302,16 +313,16 @@ def multilevel_roi_align(feats, rois, strides, *, out_size,
     wx = weights(rel_x)
 
     # pad each level so the static crop always fits
-    padded = [jnp.pad(f, ((0, max(crop - f.shape[0], 0)),
-                          (0, max(crop - f.shape[1], 0)), (0, 0)))
+    padded = [jnp.pad(f, ((0, 0), (0, max(crop - f.shape[1], 0)),
+                          (0, max(crop - f.shape[2], 0)), (0, 0)))
               for f in feats]
 
     def one_roi(carry, inp):
-        lv, yy, xx, wyr, wxr = inp
+        bi, lv, yy, xx, wyr, wxr = inp
 
         def slice_level(i):
             return lambda: jax.lax.dynamic_slice(
-                padded[i], (yy, xx, 0), (crop, crop, c))
+                padded[i], (bi, yy, xx, 0), (1, crop, crop, c))[0]
 
         window = jax.lax.switch(lv, [slice_level(i) for i in range(n_level)])
         window = window.astype(jnp.float32)
@@ -322,13 +333,14 @@ def multilevel_roi_align(feats, rois, strides, *, out_size,
         return carry, out                                 # [P*2, P*2, C]
 
     _, samples = jax.lax.scan(one_roi, 0,
-                              (lvl_idx, y0, x0, wy, wx))
+                              (batch_idx, lvl_idx, y0, x0, wy, wx))
     samples = samples.reshape(r, p, 2, p, 2, c)
     if mode == "max":
         out = jnp.max(samples, axis=(2, 4))
     else:
         out = jnp.mean(samples, axis=(2, 4))
-    return jnp.where(empty[..., None], 0.0, out).astype(feats[0].dtype)
+    out = jnp.where(empty[..., None], 0.0, out).astype(feats[0].dtype)
+    return out.reshape(b, r_per, p, p, c)
 
 
 def roi_pool(feat, rois, *, spatial_scale, out_size, samples=4):

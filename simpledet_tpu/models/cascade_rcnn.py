@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from simpledet_tpu.kernels.roi_align import multilevel_roi_align
+from simpledet_tpu.kernels.roi_align import batched_multilevel_roi_align
 from simpledet_tpu.models.heads import bbox_head_loss
 from simpledet_tpu.ops.bbox import clip_boxes, decode_boxes
 from simpledet_tpu.targets.proposal_target import batched_proposal_target
@@ -60,11 +60,10 @@ class CascadeRcnn(nn.Module):
     def extract_rois(self, pyramid, rois):
         strides = tuple(self.p_roi.stride)
         feats = [pyramid[f"stride{s}"].astype(jnp.float32) for s in strides]
-        fn = lambda fs, r: multilevel_roi_align(
-            fs, r, strides, out_size=self.p_roi.out_size,
+        return batched_multilevel_roi_align(
+            feats, rois, strides, out_size=self.p_roi.out_size,
             canonical_scale=self.p_roi.roi_canonical_scale or 224,
             canonical_level=self.p_roi.roi_canonical_level or 4)
-        return jax.vmap(fn)(feats, rois)
 
     def _sample(self, rng, proposals, gt_bbox, ps, pt):
         sample = batched_proposal_target(

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from simpledet_tpu.kernels.roi_align import multilevel_roi_align
+from simpledet_tpu.kernels.roi_align import batched_multilevel_roi_align
 from simpledet_tpu.models.heads import (Bbox2fcHead, bbox_head_loss,
                                         bbox_head_predict)
 from simpledet_tpu.models.rpn import FPNRpnHead
@@ -68,11 +68,10 @@ class FasterRcnn(nn.Module):
         """[B, R, 4] rois -> [B, R, P, P, C] features from P2..P5."""
         strides = tuple(self.p_roi.stride)
         feats = [pyramid[f"stride{s}"].astype(jnp.float32) for s in strides]
-        fn = lambda fs, r: multilevel_roi_align(
-            fs, r, strides, out_size=self.p_roi.out_size,
+        return batched_multilevel_roi_align(
+            feats, rois, strides, out_size=self.p_roi.out_size,
             canonical_scale=self.p_roi.roi_canonical_scale or 224,
             canonical_level=self.p_roi.roi_canonical_level or 4)
-        return jax.vmap(fn)(feats, rois)
 
     @nn.compact
     def __call__(self, data, im_info, gt_bbox=None, mode="train"):

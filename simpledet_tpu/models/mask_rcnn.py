@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from simpledet_tpu.kernels.roi_align import multilevel_roi_align
+from simpledet_tpu.kernels.roi_align import batched_multilevel_roi_align
 from simpledet_tpu.models.faster_rcnn import FasterRcnn
 from simpledet_tpu.models.heads import bbox_head_loss, bbox_head_predict
 from simpledet_tpu.ops.losses import sigmoid_cross_entropy
@@ -70,11 +70,10 @@ class MaskFasterRcnn(FasterRcnn):
     def extract_mask_rois(self, pyramid, rois):
         strides = tuple(self.p_mask_roi.stride)
         feats = [pyramid[f"stride{s}"].astype(jnp.float32) for s in strides]
-        fn = lambda fs, r: multilevel_roi_align(
-            fs, r, strides, out_size=self.p_mask_roi.out_size,
+        return batched_multilevel_roi_align(
+            feats, rois, strides, out_size=self.p_mask_roi.out_size,
             canonical_scale=self.p_mask_roi.roi_canonical_scale or 224,
             canonical_level=self.p_mask_roi.roi_canonical_level or 4)
-        return jax.vmap(fn)(feats, rois)
 
     @nn.compact
     def __call__(self, data, im_info, gt_bbox=None, gt_poly=None,

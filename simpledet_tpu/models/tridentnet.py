@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from simpledet_tpu.kernels.roi_align import multilevel_roi_align
+from simpledet_tpu.kernels.roi_align import batched_multilevel_roi_align
 from simpledet_tpu.models.heads import bbox_head_loss, bbox_head_predict
 from simpledet_tpu.models.resnet import RESNET_UNITS, BottleneckV2
 from simpledet_tpu.ops.bbox import bbox_overlaps
@@ -289,7 +289,6 @@ class TridentFasterRcnn(nn.Module):
         if hasattr(stride, "__len__"):
             stride = stride[0]
         feat = feats[f"stride{stride}"].astype(jnp.float32)
-        fn = lambda f, r: multilevel_roi_align(
-            [f], r, (stride,), out_size=self.p_roi.out_size,
+        return batched_multilevel_roi_align(
+            [feat], rois, (stride,), out_size=self.p_roi.out_size,
             canonical_scale=224, canonical_level=4)
-        return jax.vmap(fn)(feat, rois)
