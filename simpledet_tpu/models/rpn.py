@@ -129,39 +129,70 @@ class FPNRpnHead:
         return losses, aux
 
     def proposals(self, level_outputs, im_info, pad_hw, is_train):
-        """Per-level decode+NMS then cross-level top-k.
+        """Per-level decode + NMS, then cross-level top-k.
 
         Returns (boxes [B, post_nms_top_n, 4], scores [B, post_nms_top_n]).
+
+        All levels' pre-NMS pools are padded to a common size and stacked so
+        ONE vmapped NMS covers every (image, level) pair — per-level
+        sequential NMS calls cost ~8ms each on TPU (perf_probe2).
         """
+        from simpledet_tpu.ops.bbox import clip_boxes, decode_boxes
+        from simpledet_tpu.ops.nms import NEG_INF, nms
+        from simpledet_tpu.ops.topk import fast_top_k
+
         p = self.p
         pre = p.proposal.pre_nms_top_n
         post = p.proposal.post_nms_top_n
-        keys = sorted(level_outputs, key=lambda s: int(s.replace("stride", "")))
+        nms_thr = p.proposal.nms_thr
+        min_size = p.proposal.min_bbox_side or 0
+        keys = sorted(level_outputs,
+                      key=lambda s: int(s.replace("stride", "")))
+        anchors = self._level_anchors(pad_hw)
+        b = level_outputs[keys[0]][0].shape[0]
+        n_level = len(keys)
 
-        def per_image(scores_levels, deltas_levels, hw):
-            lvl_boxes, lvl_scores = [], []
-            for (sc, de, anc) in zip(scores_levels, deltas_levels,
-                                     self._level_anchors(pad_hw)):
-                bx, s = gen_proposals(
-                    sc, de, anc, hw, pre_nms_top_n=min(pre, sc.shape[0]),
-                    post_nms_top_n=min(post, sc.shape[0]),
-                    nms_thr=p.proposal.nms_thr,
-                    min_size=p.proposal.min_bbox_side)
-                lvl_boxes.append(bx)
-                lvl_scores.append(s)
-            return top_proposals(lvl_boxes, lvl_scores, post)
-
-        # flatten per level: scores fg prob, deltas [N,4]
-        scores_levels, deltas_levels = [], []
-        for key in keys:
+        # per level: decode, clip, filter, top-(min(pre, n)); pad to pre
+        lvl_boxes, lvl_scores = [], []
+        for key, anc in zip(keys, anchors):
             cls, reg = level_outputs[key]
-            b = cls.shape[0]
             prob = jax.nn.softmax(cls.reshape(b, -1, 2), axis=-1)[..., 1]
-            scores_levels.append(prob)
-            deltas_levels.append(reg.reshape(b, -1, 4))
+            deltas = reg.reshape(b, -1, 4)
 
-        boxes, scores = jax.vmap(per_image)(
-            scores_levels, deltas_levels, im_info[:, :2])
+            def per_image(sc, de, hw):
+                boxes = decode_boxes(anc, de)
+                boxes = clip_boxes(boxes, hw)
+                ws = boxes[:, 2] - boxes[:, 0] + 1.0
+                hs = boxes[:, 3] - boxes[:, 1] + 1.0
+                valid = (ws >= min_size) & (hs >= min_size)
+                masked = jnp.where(valid, sc, NEG_INF)
+                k = min(pre, sc.shape[0])
+                top_s, top_i = fast_top_k(masked, k)
+                top_b = boxes[top_i]
+                if k < pre:
+                    top_s = jnp.pad(top_s, (0, pre - k),
+                                    constant_values=NEG_INF)
+                    top_b = jnp.pad(top_b, ((0, pre - k), (0, 0)))
+                return top_b, top_s
+
+            bx, sc = jax.vmap(per_image)(prob, deltas, im_info[:, :2])
+            lvl_boxes.append(bx)
+            lvl_scores.append(sc)
+
+        # [B*L, pre, ...] -> one vmapped NMS over every (image, level)
+        all_b = jnp.stack(lvl_boxes, 1).reshape(b * n_level, pre, 4)
+        all_s = jnp.stack(lvl_scores, 1).reshape(b * n_level, pre)
+        post_l = min(post, pre)
+        ob, osc, _, ov = jax.vmap(
+            lambda bx, sc: nms(bx, sc, nms_thr, post_l,
+                               valid=sc > NEG_INF / 2))(all_b, all_s)
+        osc = jnp.where(ov, osc, NEG_INF)
+
+        # cross-level top-k per image
+        ob = ob.reshape(b, n_level * post_l, 4)
+        osc = osc.reshape(b, n_level * post_l)
+        boxes, scores = jax.vmap(
+            lambda bx, sc: top_proposals([bx], [sc], post))(ob, osc)
         return jax.lax.stop_gradient(boxes), jax.lax.stop_gradient(scores)
 
     def _level_anchors(self, pad_hw):

@@ -13,6 +13,8 @@ highest-indexed candidates), used for oracle parity tests.
 import jax
 import jax.numpy as jnp
 
+from simpledet_tpu.ops.topk import fast_top_k
+
 
 def _priorities(rng, n, deterministic):
     if deterministic:
@@ -28,7 +30,13 @@ def random_topk_mask(rng, mask, k, deterministic=False):
     """
     n = mask.shape[0]
     prio = jnp.where(mask, _priorities(rng, n, deterministic), -jnp.inf)
-    _, idx = jax.lax.top_k(prio, k)
+    # random priorities: an approximate top-k of iid uniforms is still a
+    # uniform random subset, so the TPU ApproxTopK path is distributionally
+    # equivalent (deterministic mode keeps the exact path: monotone prios)
+    if deterministic:
+        _, idx = jax.lax.top_k(prio, k)
+    else:
+        _, idx = fast_top_k(prio, k)
     sel = jnp.zeros((n,), bool).at[idx].set(True)
     return sel & mask
 
@@ -68,7 +76,10 @@ def subsample_labels(rng, label, num_sample, fg_fraction, deterministic=False):
     num_bg = num_sample - n_fg_kept
     bg_mask = label == 0
     prio = jnp.where(bg_mask, _priorities(rng_bg, n, deterministic), -jnp.inf)
-    vals, idx = jax.lax.top_k(prio, num_sample)     # sorted descending
+    if deterministic:
+        vals, idx = jax.lax.top_k(prio, num_sample)  # sorted descending
+    else:
+        vals, idx = fast_top_k(prio, num_sample)     # sorted descending
     pos = jnp.arange(num_sample)
     sel = (pos < num_bg) & jnp.isfinite(vals)
     keep_bg = jnp.zeros((n,), bool).at[idx].set(sel)
