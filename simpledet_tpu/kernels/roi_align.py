@@ -207,7 +207,44 @@ def multilevel_roi_align(feats, rois, strides, *, out_size,
 
 def batched_multilevel_roi_align(feats, rois, strides, *, out_size,
                                  canonical_scale=224, canonical_level=4,
-                                 mode="max", crop=None):
+                                 mode="max", crop=None, impl=None):
+    """Batched multilevel RoIAlign dispatcher.
+
+    impl: "pallas" (TPU default: per-roi window DMA kernel),
+    "crop" (scan + dynamic_slice + MXU einsum — portable, but scan
+    iteration overhead dominates at large roi counts), "gather" (CPU
+    default / semantics oracle). Override with SIMPLEDET_ROI_ALIGN.
+    """
+    import os
+    impl = impl or os.environ.get("SIMPLEDET_ROI_ALIGN")
+    if impl is None:
+        try:
+            impl = "pallas" if jax.devices()[0].platform == "tpu" \
+                else "gather"
+        except Exception:  # pragma: no cover
+            impl = "gather"
+    if impl == "crop":
+        return _batched_crop_roi_align(
+            feats, rois, strides, out_size=out_size,
+            canonical_scale=canonical_scale,
+            canonical_level=canonical_level, mode=mode, crop=crop)
+    if impl == "pallas":
+        from simpledet_tpu.kernels.roi_align_pallas import \
+            batched_roi_align_pallas
+        return batched_roi_align_pallas(
+            feats, rois, strides, out_size=out_size,
+            canonical_scale=canonical_scale,
+            canonical_level=canonical_level, mode=mode, crop=crop)
+    fn = lambda *a: multilevel_roi_align_gather(
+        list(a[:-1]), a[-1], strides, out_size=out_size,
+        canonical_scale=canonical_scale, canonical_level=canonical_level,
+        mode=mode)
+    return jax.vmap(fn)(*feats, rois)
+
+
+def _batched_crop_roi_align(feats, rois, strides, *, out_size,
+                            canonical_scale=224, canonical_level=4,
+                            mode="max", crop=None):
     """FPN RoI extraction — crop + MXU interpolation, batched.
 
     feats: list of [B, H_i, W_i, C] per level (fine -> coarse);

@@ -149,3 +149,36 @@ def test_crop_path_matches_gather_path_randomized():
     np.testing.assert_allclose(a[ok], b[ok], rtol=1e-4, atol=1e-4)
     # oversized rois must still be finite and nonzero
     assert np.isfinite(a).all()
+
+
+def test_pallas_roi_align_matches_crop_path():
+    """Pallas kernel (interpret mode) fwd+bwd vs the XLA crop math."""
+    from simpledet_tpu.kernels.roi_align import _batched_crop_roi_align
+    from simpledet_tpu.kernels.roi_align_pallas import \
+        batched_roi_align_pallas
+
+    rng = np.random.RandomState(3)
+    c = 8
+    feats = [jnp.asarray(
+        rng.randn(2, 96 // (2 ** i), 160 // (2 ** i), c).astype(np.float32))
+        for i in range(4)]
+    strides = (4, 8, 16, 32)
+    n = 12
+    xy = rng.uniform(0, 300, (n, 2)).astype(np.float32)
+    wh = np.exp(rng.uniform(np.log(8), np.log(300), (n, 2))).astype(
+        np.float32)
+    rois = jnp.asarray(
+        np.stack([np.concatenate([xy, np.minimum(xy + wh, 380)], 1)] * 2))
+
+    a = np.asarray(batched_roi_align_pallas(
+        feats, rois, strides, 7, 224, 4, "max", None, True))
+    b = np.asarray(_batched_crop_roi_align(feats, rois, strides, out_size=7))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    g1 = jax.grad(lambda fs: jnp.sum(batched_roi_align_pallas(
+        fs, rois, strides, 7, 224, 4, "max", None, True) ** 2))(feats)
+    g2 = jax.grad(lambda fs: jnp.sum(_batched_crop_roi_align(
+        fs, rois, strides, out_size=7) ** 2))(feats)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-4)
