@@ -212,17 +212,18 @@ def batched_multilevel_roi_align(feats, rois, strides, *, out_size,
 
     impl: "pallas" (TPU default: per-roi window DMA kernel),
     "crop" (scan + dynamic_slice + MXU einsum — portable, but scan
-    iteration overhead dominates at large roi counts), "gather" (CPU
-    default / semantics oracle). Override with SIMPLEDET_ROI_ALIGN.
+    iteration overhead dominates at large roi counts), "pallas" (per-roi
+    window DMA kernel), "gather" (default / semantics oracle). Override
+    with SIMPLEDET_ROI_ALIGN.
+
+    Measured on v5e (perf_probe2/3): gather is ~130ms standalone for 512
+    rois but XLA fuses it best inside the full train step; the crop scan
+    pays per-iteration dispatch (~7x slower end to end) and the pallas
+    window kernel pays per-grid-step DMA latency (~145us/roi). gather is
+    therefore the default; the others are kept for further kernel work.
     """
     import os
-    impl = impl or os.environ.get("SIMPLEDET_ROI_ALIGN")
-    if impl is None:
-        try:
-            impl = "pallas" if jax.devices()[0].platform == "tpu" \
-                else "gather"
-        except Exception:  # pragma: no cover
-            impl = "gather"
+    impl = impl or os.environ.get("SIMPLEDET_ROI_ALIGN") or "gather"
     if impl == "crop":
         return _batched_crop_roi_align(
             feats, rois, strides, out_size=out_size,
