@@ -154,7 +154,7 @@ def _pallas_forward(stacked, img_idx, lvl_idx, y0, x0, wy, wx, *, crop,
         num_scalar_prefetch=4,
         grid=(br,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # stacked in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # stacked in HBM
             pl.BlockSpec((1, p2, crop), lambda r, *s: (r, 0, 0)),
             pl.BlockSpec((1, p2, crop_x), lambda r, *s: (r, 0, 0)),
         ],
