@@ -14,3 +14,9 @@ from simpledet_tpu.data.transforms import (  # noqa: F401
     Resize2DImageBbox,
 )
 from simpledet_tpu.data.loader import Loader  # noqa: F401
+from simpledet_tpu.data.transforms import (  # noqa: F401,E402
+    Pad2DImage,
+    RandCrop2DImageBbox,
+    Resize2DImage,
+    Resize2DImageByRoidb,
+)

@@ -163,3 +163,105 @@ def apply_transforms(record, transforms):
     for t in transforms:
         t.apply(record)
     return record
+
+
+class RandCrop2DImageBbox(DetectionAugmentation):
+    """Crop to (short, long) by orientation, 'center' (around a random gt
+    with jitter) or 'random' placement; gt outside the crop dropped
+    (reference core/detection_input.py:208-283)."""
+
+    def __init__(self, pCrop):
+        assert pCrop.mode in ("center", "random")
+        self.short = pCrop.short
+        self.long = pCrop.long
+        self.mode = pCrop.mode
+
+    def apply(self, r):
+        img = r["image"]
+        gt = np.asarray(r["gt_bbox"], np.float32).reshape(-1, 4)
+        if img.shape[0] >= img.shape[1]:
+            crop_w, crop_h = self.short, self.long
+        else:
+            crop_w, crop_h = self.long, self.short
+        crop_w = min(crop_w, img.shape[1])
+        crop_h = min(crop_h, img.shape[0])
+
+        if self.mode == "center" and len(gt) > 0:
+            box = gt[np.random.randint(len(gt))]
+            ctr_x = (box[2] + box[0]) / 2.0
+            ctr_y = (box[3] + box[1]) / 2.0
+            start_h = int(round(ctr_y - crop_h / 2)) + np.random.randint(-10, 10)
+            start_w = int(round(ctr_x - crop_w / 2)) + np.random.randint(-30, 30)
+            start_h = int(np.clip(start_h, 0, img.shape[0] - crop_h))
+            start_w = int(np.clip(start_w, 0, img.shape[1] - crop_w))
+        else:
+            start_h = np.random.randint(0, img.shape[0] - crop_h + 1)
+            start_w = np.random.randint(0, img.shape[1] - crop_w + 1)
+        end_h, end_w = start_h + crop_h, start_w + crop_w
+
+        r["image"] = img[start_h:end_h, start_w:end_w]
+        if len(gt):
+            cx = (gt[:, 2] + gt[:, 0]) / 2.0
+            cy = (gt[:, 3] + gt[:, 1]) / 2.0
+            keep = (cy > start_h) & (cx > start_w) & (cy < end_h) & (cx < end_w)
+            gt = gt[keep]
+            cls = np.asarray(r["gt_class"], np.float32).reshape(-1)[keep]
+            gt[:, [0, 2]] = np.clip(gt[:, [0, 2]] - start_w, 0, crop_w - 1)
+            gt[:, [1, 3]] = np.clip(gt[:, [1, 3]] - start_h, 0, crop_h - 1)
+            r["gt_bbox"] = gt
+            r["gt_class"] = cls
+        return r
+
+
+class Resize2DImage(DetectionAugmentation):
+    """Image-only short/long resize (reference core/detection_input.py:105)."""
+
+    def __init__(self, pResize):
+        self.short = pResize.short
+        self.long = pResize.long
+
+    def apply(self, r):
+        import cv2
+        img = r["image"]
+        h, w = img.shape[:2]
+        scale = min(self.short / min(h, w), self.long / max(h, w))
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        r["image"] = cv2.resize(img, (nw, nh),
+                                interpolation=cv2.INTER_LINEAR)
+        r["im_info"] = np.array([nh, nw, scale], np.float32)
+        return r
+
+
+class Resize2DImageByRoidb(DetectionAugmentation):
+    """Resize to a per-record scale stored on the roidb entry (reference
+    core/detection_input.py:135, multi-scale test pipelines)."""
+
+    def apply(self, r):
+        import cv2
+        img = r["image"]
+        scale = float(r.get("resize_scale", 1.0))
+        h, w = img.shape[:2]
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        r["image"] = cv2.resize(img, (nw, nh),
+                                interpolation=cv2.INTER_LINEAR)
+        if len(r.get("gt_bbox", [])):
+            r["gt_bbox"] = np.asarray(r["gt_bbox"], np.float32) * scale
+        r["im_info"] = np.array([nh, nw, scale], np.float32)
+        return r
+
+
+class Pad2DImage(DetectionAugmentation):
+    """Image-only fixed-shape pad (reference core/detection_input.py:317)."""
+
+    def __init__(self, pPad):
+        self.short = pPad.short
+        self.long = pPad.long
+
+    def apply(self, r):
+        img = r["image"]
+        h, w = img.shape[:2]
+        ph, pw = (self.long, self.short) if h >= w else (self.short, self.long)
+        out = np.zeros((ph, pw, 3), img.dtype)
+        out[:h, :w] = img
+        r["image"] = out
+        return r
