@@ -58,3 +58,16 @@ def test_checkpoint_roundtrip(trained):
     a = jax.tree.leaves(trained.params)[0]
     b = jax.tree.leaves(params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_retina_single_stage_e2e(micro_data):
+    """Single-stage CLI path: train 2 iters then COCO-eval via test_net."""
+    import shutil as _sh
+    _sh.rmtree("experiments/retina_micro_test", ignore_errors=True)
+    from detection_train import train_net
+    train_net("config/retina_micro_test.py", max_iter_override=2)
+    assert os.path.exists(
+        "experiments/retina_micro_test/checkpoint-0001.params")
+    from detection_test import test_net
+    summary = test_net("config/retina_micro_test.py", max_images=3)
+    assert summary is not None and np.isfinite(summary["AP"])
