@@ -695,11 +695,12 @@ class DoublePredRcnn:
 
 
 class FPNRpnHeadwithIgnore(FPNRpnHead):
-    """Ignore-region-aware RPN head alias (reference
-    models/crowdhuman/builder.py:356). Ignore regions are encoded as gt rows
-    whose class is -1 beyond the valid prefix — handled by the standard
-    anchor target's padded-gt masking; full ignore-region semantics (IoF
-    suppression) are a TODO documented here."""
+    """Ignore-region-aware RPN head (reference models/crowdhuman/builder.py
+    :356). Ignore regions are gt rows with class == -2: excluded from
+    assignment/sampling, and anchors covering one (IoF > 0.5) are removed
+    from the background pool (targets/anchor_target.py) — semantics are in
+    the shared in-graph targets, so this alias is behaviorally identical to
+    FPNRpnHead."""
     pass
 
 

@@ -40,7 +40,11 @@ def anchor_target(rng, anchors, gt_bbox, im_hw, *,
              (anchors[:, 2] < im_hw[1] + allowed_border) &
              (anchors[:, 3] < im_hw[0] + allowed_border))
 
-    gt_valid = gt_bbox[:, 4] != -1
+    # padding rows have class -1; crowd/ignore REGIONS carry class -2
+    # (reference models/crowdhuman/bbox_target.py:19-22) — both excluded
+    # from assignment
+    gt_valid = gt_bbox[:, 4] > 0
+    ignore_gt = gt_bbox[:, 4] == -2
     num_gt = jnp.sum(gt_valid)
 
     ov = bbox_overlaps(anchors, gt_bbox[:, :4])          # [N, G]
@@ -61,6 +65,21 @@ def anchor_target(rng, anchors, gt_bbox, im_hw, *,
     # no gt in image -> everything valid is background
     label = jnp.where(num_gt == 0, 0.0, label)
     label = jnp.where(valid, label, -1.0)
+
+    # anchors covering an ignore REGION (IoF = intersection / anchor area
+    # > 0.5) must not train as background
+    any_ignore = jnp.any(ignore_gt)
+    ix1 = jnp.maximum(anchors[:, 0:1], gt_bbox[None, :, 0].reshape(1, -1))
+    iy1 = jnp.maximum(anchors[:, 1:2], gt_bbox[None, :, 1].reshape(1, -1))
+    ix2 = jnp.minimum(anchors[:, 2:3], gt_bbox[None, :, 2].reshape(1, -1))
+    iy2 = jnp.minimum(anchors[:, 3:4], gt_bbox[None, :, 3].reshape(1, -1))
+    inter = jnp.maximum(ix2 - ix1 + 1, 0) * jnp.maximum(iy2 - iy1 + 1, 0)
+    a_area = ((anchors[:, 2] - anchors[:, 0] + 1)
+              * (anchors[:, 3] - anchors[:, 1] + 1))[:, None]
+    iof = jnp.where(ignore_gt[None, :], inter / jnp.maximum(a_area, 1.0),
+                    0.0)
+    hit_ignore = jnp.max(iof, axis=1) > 0.5
+    label = jnp.where(any_ignore & hit_ignore & (label == 0), -1.0, label)
 
     label = subsample_labels(rng, label, image_anchor, fg_fraction,
                              deterministic=deterministic)

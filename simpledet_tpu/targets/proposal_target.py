@@ -37,7 +37,9 @@ def proposal_target(rng, rois, gt_bbox, *, image_rois, fg_fraction, fg_thr,
     r, g = rois.shape[0], gt_bbox.shape[0]
     rng_fg, rng_bg, rng_pad = jax.random.split(rng, 3)
 
-    gt_valid = gt_bbox[:, 4] != -1
+    # class -1 = padding; class -2 = crowd/ignore region (excluded from
+    # sampling, reference models/crowdhuman/bbox_target.py:19-22)
+    gt_valid = gt_bbox[:, 4] > 0
     num_gt = jnp.sum(gt_valid)
     roi_valid = rois[:, 3] > 0
 
@@ -140,7 +142,7 @@ def proposal_target_double(rng, rois, gt_bbox, *, fg_thr, bbox_mean,
                              num_reg_class=num_reg_class,
                              class_agnostic=class_agnostic, **kw)
     sel_rois = sample["rois"]
-    gt_valid = gt_bbox[:, 4] != -1
+    gt_valid = gt_bbox[:, 4] > 0
     ov = bbox_overlaps(sel_rois, gt_bbox[:, :4])
     ov = jnp.where(gt_valid[None, :], ov, -1.0)
     # mask the best gt column per roi, take the runner-up

@@ -33,7 +33,7 @@ def retina_anchor_target(anchors, gt_bbox, im_hw, *,
              (anchors[:, 2] < im_hw[1] + allowed_border) &
              (anchors[:, 3] < im_hw[0] + allowed_border))
 
-    gt_valid = gt_bbox[:, 4] != -1
+    gt_valid = gt_bbox[:, 4] > 0    # -1 padding, -2 ignore region
     num_gt = jnp.sum(gt_valid)
 
     ov = bbox_overlaps(anchors, gt_bbox[:, :4])

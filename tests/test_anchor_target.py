@@ -82,3 +82,28 @@ def test_subsample_exact_counts():
     out2 = np.asarray(subsample_labels(jax.random.PRNGKey(0), label2, 256, 0.5))
     assert (out2 == 1).sum() == 10
     assert (out2 == 0).sum() == 246
+
+
+def test_ignore_regions_excluded():
+    """class -2 rows (crowd ignore regions) neither assign positives nor
+    leave covered anchors as background."""
+    import jax
+    from simpledet_tpu.ops.anchors import generate_anchor_grid
+    from simpledet_tpu.targets.anchor_target import anchor_target
+
+    anchors = generate_anchor_grid(8, 8, 8, (4,), (1.0,))
+    gt = np.full((4, 5), -1, np.float32)
+    gt[0] = [0, 0, 30, 30, -2]      # ignore region over the top-left
+    gt[1] = [34, 34, 62, 62, 2]     # real gt elsewhere
+    label, target, weight = anchor_target(
+        jax.random.PRNGKey(0), jnp.asarray(anchors), jnp.asarray(gt),
+        jnp.asarray([64., 64.]), image_anchor=64, deterministic=True)
+    label = np.asarray(label)
+    # anchors mostly covered by the ignore region (IoF > 0.5): never bg
+    a = anchors
+    iw = np.maximum(np.minimum(a[:, 2], 30) - np.maximum(a[:, 0], 0) + 1, 0)
+    ih = np.maximum(np.minimum(a[:, 3], 30) - np.maximum(a[:, 1], 0) + 1, 0)
+    area = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+    iof = iw * ih / area
+    assert (label[iof > 0.5] != 0).all()
+    assert (label == 1).sum() > 0   # real gt still assigned
