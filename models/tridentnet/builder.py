@@ -9,3 +9,4 @@ from simpledet_tpu.dsl import (  # noqa: F401
     process_branch_outputs,
     process_branch_rpn_outputs,
 )
+from simpledet_tpu.dsl import TridentMaskRcnn  # noqa: F401,E402

@@ -563,6 +563,41 @@ class TridentFasterRcnn:
                               valid_ranges)
 
 
+class TridentMaskRcnn(TridentFasterRcnn):
+    """Detector singleton (reference models/tridentnet/builder.py:131)."""
+
+    @staticmethod
+    def _assemble_mask(backbone, neck, rpn_head, roi_extractor,
+                       mask_roi_extractor, bbox_head, mask_head, num_branch,
+                       scaleaware, valid_ranges=None):
+        from simpledet_tpu.models.tridentnet import TridentMaskRcnn as Module
+        kw = {}
+        if valid_ranges is not None:
+            kw["valid_ranges"] = tuple(tuple(v) for v in valid_ranges)
+        return Module(
+            backbone=backbone.module, neck=neck.module,
+            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
+            bbox_head=bbox_head.module, p_rpn=rpn_head.p,
+            p_roi=roi_extractor.p, p_bbox=bbox_head.p,
+            num_branch=num_branch, scaleaware=bool(scaleaware),
+            mask_head=mask_head.module, p_mask=mask_head.p, **kw)
+
+    def get_train_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                         mask_roi_extractor, bbox_head, mask_head,
+                         num_branch, scaleaware, valid_ranges=None):
+        return self._assemble_mask(backbone, neck, rpn_head, roi_extractor,
+                                   mask_roi_extractor, bbox_head, mask_head,
+                                   num_branch, scaleaware, valid_ranges)
+
+    def get_test_symbol(self, backbone, neck, rpn_head, roi_extractor,
+                        mask_roi_extractor, bbox_head, mask_head,
+                        bbox_post_processor=None, num_branch=3,
+                        scaleaware=True, valid_ranges=None):
+        return self._assemble_mask(backbone, neck, rpn_head, roi_extractor,
+                                   mask_roi_extractor, bbox_head, mask_head,
+                                   num_branch, scaleaware, valid_ranges)
+
+
 def process_branch_outputs(*args, **kw):
     """No-op: branch filtering/merging happens in-graph (the trident test
     mode folds branches into the detection axis and masks out-of-range

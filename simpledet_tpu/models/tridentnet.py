@@ -292,3 +292,85 @@ class TridentFasterRcnn(nn.Module):
         return batched_multilevel_roi_align(
             [feat], rois, (stride,), out_size=self.p_roi.out_size,
             canonical_scale=224, canonical_level=4)
+
+
+class TridentMaskRcnn(TridentFasterRcnn):
+    """Trident + mask branch (reference models/tridentnet/builder.py:131-202
+    TridentMaskRcnn): branches fold into the batch axis; gt polygons are
+    broadcast per branch and the fg-first mask sampling matches
+    MaskFasterRcnn."""
+    mask_head: nn.Module = None
+    p_mask: Any = None
+
+    @nn.compact
+    def __call__(self, data, im_info, gt_bbox=None, gt_poly=None,
+                 mode="train"):
+        from simpledet_tpu.ops.losses import sigmoid_cross_entropy
+        from simpledet_tpu.targets.mask_target import batched_mask_target
+
+        nb = self.num_branch
+        pad_hw = data.shape[1:3]
+        feats = self.neck(self.backbone(data))
+        rpn_out = self.rpn_module(feats)
+        b = data.shape[0]
+        im_info_b = jnp.concatenate([im_info] * nb, axis=0)
+        ranges_b = jnp.repeat(self._branch_ranges(pad_hw), b, axis=0)
+
+        ps = self.p_rpn.subsample_proposal
+        pt = self.p_rpn.bbox_target
+        num_fg = int(ps.image_roi * ps.fg_fraction)
+        mask_size = (self.p_mask and self.p_mask.resolution) or 28
+
+        if mode != "train":
+            # bbox path identical to TridentFasterRcnn test; mask head on
+            # the per-branch top detections (host-side pasting as usual)
+            out = TridentFasterRcnn.__call__(self, data, im_info,
+                                             gt_bbox, mode=mode)
+            return out
+
+        gt_b = jnp.concatenate([gt_bbox] * nb, axis=0)
+        poly_b = jnp.concatenate([gt_poly] * nb, axis=0)
+        if self.scaleaware:
+            gt_b = jax.vmap(filter_gt_by_range)(gt_b, ranges_b)
+
+        rng_anchor = self.make_rng("sampling")
+        rpn_losses, rpn_aux = self.rpn.loss(rng_anchor, rpn_out, gt_b,
+                                            im_info_b, pad_hw)
+        proposals, _ = self.rpn.proposals(rpn_out, im_info_b, pad_hw,
+                                          is_train=True)
+        rng_sample = self.make_rng("sampling")
+        rngs = jax.random.split(rng_sample, proposals.shape[0])
+        sample = jax.vmap(lambda r_, ro, gt: proposal_target(
+            r_, ro, gt, image_rois=ps.image_roi, fg_fraction=ps.fg_fraction,
+            fg_thr=ps.fg_thr, bg_thr_hi=ps.bg_thr_hi, bg_thr_lo=ps.bg_thr_lo,
+            num_reg_class=pt.num_reg_class,
+            class_agnostic=pt.class_agnostic,
+            proposal_wo_gt=ps.proposal_wo_gt or False,
+            bbox_mean=pt.mean, bbox_std=pt.std, bbox_weight=pt.weight))(
+            rngs, proposals, gt_b)
+        sample = jax.lax.stop_gradient(sample)
+
+        roi_feat = self._extract(feats, sample["rois"])
+        cls_logit, bbox_delta = self.bbox_head(roi_feat)
+        losses = bbox_head_loss(cls_logit, bbox_delta, sample["label"],
+                                sample["bbox_target"],
+                                sample["bbox_weight"])
+
+        mask_rois = sample["rois"][:, :num_fg]
+        mask_gt_idx = sample["gt_index"][:, :num_fg]
+        mask_fg = sample["fg_mask"][:, :num_fg]
+        mask_cls = sample["label"][:, :num_fg].astype(jnp.int32)
+        targets = batched_mask_target(mask_rois, mask_gt_idx, mask_fg,
+                                      poly_b, mask_size=mask_size)
+        targets = jax.lax.stop_gradient(targets)
+        mask_feat = self._extract(feats, mask_rois)
+        mask_logit = self.mask_head(mask_feat)
+        fg_logit = jnp.take_along_axis(
+            mask_logit, mask_cls[:, :, None, None, None], axis=-1)[..., 0]
+        losses["mask_loss"] = sigmoid_cross_entropy(fg_logit, targets)
+
+        losses.update(rpn_losses)
+        aux = dict(rpn_aux)
+        aux["bbox_label"] = sample["label"]
+        aux["bbox_cls_logit"] = cls_logit
+        return losses, aux
