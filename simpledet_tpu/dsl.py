@@ -736,7 +736,10 @@ class FPNRpnHeadwithIgnore(FPNRpnHead):
     from the background pool (targets/anchor_target.py) — semantics are in
     the shared in-graph targets, so this alias is behaviorally identical to
     FPNRpnHead."""
-    pass
+
+    def __init__(self, pRpn):
+        super().__init__(pRpn)
+        self.p.ignore_regions = True
 
 
 class FreeAnchorRetinaNetHead:

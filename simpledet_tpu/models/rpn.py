@@ -103,7 +103,8 @@ class FPNRpnHead:
             neg_thr=p.anchor_assign.neg_thr, pos_thr=p.anchor_assign.pos_thr,
             min_pos_thr=p.anchor_assign.min_pos_thr,
             image_anchor=p.anchor_assign.image_anchor,
-            fg_fraction=p.anchor_assign.pos_fraction)
+            fg_fraction=p.anchor_assign.pos_fraction,
+            ignore_regions=bool(getattr(p, "ignore_regions", None)))
         label = jax.lax.stop_gradient(label)
         target = jax.lax.stop_gradient(target)
         weight = jax.lax.stop_gradient(weight)

@@ -26,7 +26,7 @@ from simpledet_tpu.targets.sampling import subsample_labels
 def anchor_target(rng, anchors, gt_bbox, im_hw, *,
                   allowed_border=0, neg_thr=0.3, pos_thr=0.7, min_pos_thr=0.0,
                   image_anchor=256, fg_fraction=0.5, deterministic=False,
-                  bbox_mean=None, bbox_std=None):
+                  bbox_mean=None, bbox_std=None, ignore_regions=True):
     """Single-image anchor targets.
 
     anchors: [N, 4] constant grid. gt_bbox: [G, 5] (x1,y1,x2,y2,class), padded
@@ -67,19 +67,25 @@ def anchor_target(rng, anchors, gt_bbox, im_hw, *,
     label = jnp.where(valid, label, -1.0)
 
     # anchors covering an ignore REGION (IoF = intersection / anchor area
-    # > 0.5) must not train as background
-    any_ignore = jnp.any(ignore_gt)
-    ix1 = jnp.maximum(anchors[:, 0:1], gt_bbox[None, :, 0].reshape(1, -1))
-    iy1 = jnp.maximum(anchors[:, 1:2], gt_bbox[None, :, 1].reshape(1, -1))
-    ix2 = jnp.minimum(anchors[:, 2:3], gt_bbox[None, :, 2].reshape(1, -1))
-    iy2 = jnp.minimum(anchors[:, 3:4], gt_bbox[None, :, 3].reshape(1, -1))
-    inter = jnp.maximum(ix2 - ix1 + 1, 0) * jnp.maximum(iy2 - iy1 + 1, 0)
-    a_area = ((anchors[:, 2] - anchors[:, 0] + 1)
-              * (anchors[:, 3] - anchors[:, 1] + 1))[:, None]
-    iof = jnp.where(ignore_gt[None, :], inter / jnp.maximum(a_area, 1.0),
-                    0.0)
-    hit_ignore = jnp.max(iof, axis=1) > 0.5
-    label = jnp.where(any_ignore & hit_ignore & (label == 0), -1.0, label)
+    # > 0.5) must not train as background; ignore_regions=False skips the
+    # pass for datasets without crowd regions (saves an [N, G] sweep)
+    if not ignore_regions:
+        hit_ignore = jnp.zeros((n,), bool)
+        any_ignore = False
+    else:
+        any_ignore = jnp.any(ignore_gt)
+        ix1 = jnp.maximum(anchors[:, 0:1], gt_bbox[None, :, 0].reshape(1, -1))
+        iy1 = jnp.maximum(anchors[:, 1:2], gt_bbox[None, :, 1].reshape(1, -1))
+        ix2 = jnp.minimum(anchors[:, 2:3], gt_bbox[None, :, 2].reshape(1, -1))
+        iy2 = jnp.minimum(anchors[:, 3:4], gt_bbox[None, :, 3].reshape(1, -1))
+        inter = jnp.maximum(ix2 - ix1 + 1, 0) * jnp.maximum(iy2 - iy1 + 1, 0)
+        a_area = ((anchors[:, 2] - anchors[:, 0] + 1)
+                  * (anchors[:, 3] - anchors[:, 1] + 1))[:, None]
+        iof = jnp.where(ignore_gt[None, :],
+                        inter / jnp.maximum(a_area, 1.0), 0.0)
+        hit_ignore = jnp.max(iof, axis=1) > 0.5
+        label = jnp.where(any_ignore & hit_ignore & (label == 0), -1.0,
+                          label)
 
     label = subsample_labels(rng, label, image_anchor, fg_fraction,
                              deterministic=deterministic)
