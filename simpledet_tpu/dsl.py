@@ -209,27 +209,10 @@ class FasterRcnn:
                               bbox_head)
 
     def get_rpn_test_symbol(self, backbone, neck, rpn_head):
-        class _RpnOnly:
-            class p:
-                pass
-        # assemble with a dummy head-less config: reuse the module in
-        # mode="rpn_test" (no bbox head params are touched)
-        from simpledet_tpu.models.heads import Bbox2fcHead as _BH
-
-        class _P:
-            num_class = 2
-
-            class regress_target:
-                class_agnostic = False
-                mean = (0., 0., 0., 0.)
-                std = (0.1, 0.1, 0.2, 0.2)
-
-        dummy = _BH(num_class=2, num_reg_class=2, name="bbox_head")
-        return FasterRcnnModule(
-            backbone=backbone.module, neck=neck.module,
-            rpn_module=rpn_head.impl.module, rpn=rpn_head.impl,
-            bbox_head=dummy, p_rpn=rpn_head.p,
-            p_roi=patch_config_as_nothrow(_P), p_bbox=patch_config_as_nothrow(_P))
+        # proposal-only graph: no roi/bbox-head params are created or touched
+        from simpledet_tpu.models.faster_rcnn import RpnOnly
+        return RpnOnly(backbone=backbone.module, neck=neck.module,
+                       rpn_module=rpn_head.impl.module, rpn=rpn_head.impl)
 
 
 class RPN:
