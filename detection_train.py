@@ -99,11 +99,28 @@ def train_net(config_path, max_iter_override=None):
             logger.info("no pretrain found, training from random init")
 
     # optimizer --------------------------------------------------------------
-    sched = warmup_multifactor(
-        OptimizeParam.optimizer.lr, OptimizeParam.schedule.lr_iter or [],
-        warmup_type=OptimizeParam.warmup.type or "gradual",
-        warmup_lr=OptimizeParam.warmup.lr,
-        warmup_iter=OptimizeParam.warmup.iter or 0)
+    lr_mode = OptimizeParam.schedule.lr_mode  # None | cosine | poly | linear
+    if lr_mode:
+        # AdvancedLRScheduler analog (reference utils/lr_scheduler.py:92):
+        # warmup then cosine/poly/linear decay over the full run
+        from simpledet_tpu.core.schedule import advanced, sequential
+        total_iter = ((OptimizeParam.schedule.iter_per_epoch or 1)
+                      * (OptimizeParam.schedule.end_epoch or 1))
+        warm_iter = OptimizeParam.warmup.iter or 0
+        warm = warmup_multifactor(
+            OptimizeParam.optimizer.lr, [],
+            warmup_type=OptimizeParam.warmup.type or "gradual",
+            warmup_lr=OptimizeParam.warmup.lr, warmup_iter=warm_iter)
+        sched = sequential(
+            [warm, advanced(OptimizeParam.optimizer.lr,
+                            max(total_iter - warm_iter, 1), mode=lr_mode)],
+            [warm_iter])
+    else:
+        sched = warmup_multifactor(
+            OptimizeParam.optimizer.lr, OptimizeParam.schedule.lr_iter or [],
+            warmup_type=OptimizeParam.warmup.type or "gradual",
+            warmup_lr=OptimizeParam.warmup.lr,
+            warmup_iter=OptimizeParam.warmup.iter or 0)
     mask = freeze_mask(params, ModelParam.pretrain.fixed_param or [],
                        ModelParam.pretrain.excluded_param)
     tx = make_optimizer(sched, momentum=OptimizeParam.optimizer.momentum or 0.9,

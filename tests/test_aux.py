@@ -95,3 +95,26 @@ def test_remat_train_step_matches(micro_data):
     for key in l1:
         np.testing.assert_allclose(float(l1[key]), float(l2[key]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_cosine_schedule_config(micro_data):
+    """lr_mode='cosine' flows through the train CLI (AdvancedLRScheduler)."""
+    import os as _os
+    cfg_path = _os.path.join(DATA_ROOT, "micro_cos.py")
+    with open("config/micro_test.py") as f:
+        src = f.read()
+    src = src.replace("class schedule:\n            begin_epoch = 0",
+                      "class schedule:\n            lr_mode = \"cosine\"\n"
+                      "            begin_epoch = 0")
+    src = src.replace('name = "micro_test"', 'name = "micro_cos"')
+    src = src.replace('prefix = "experiments/micro_test/checkpoint"',
+                      'prefix = "experiments/micro_cos/checkpoint"')
+    with open(cfg_path, "w") as f:
+        f.write(src)
+    import shutil as _sh
+    _sh.rmtree("experiments/micro_cos", ignore_errors=True)
+    from detection_train import train_net
+    state = train_net(cfg_path, max_iter_override=2)
+    import jax as _jax
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in _jax.tree.leaves(state.params))
