@@ -104,3 +104,35 @@ def test_summary_writer(tmp_path):
     lines = [json.loads(line) for line in
              open(os.path.join(str(tmp_path), "events.jsonl"))]
     assert lines[0]["tag"] == "train/loss" and lines[1]["step"] == 20
+
+
+def test_syncbn_global_batch_stats():
+    """SyncBN normalizes by full-batch stats (== reference cross-device BN)."""
+    import jax
+    import jax.numpy as jnp
+
+    from simpledet_tpu.models.norm import SyncBN, normalizer_factory
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 4, 4, 16).astype(np.float32) * 3 + 1
+    mod = SyncBN()
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(mod.apply(params, jnp.asarray(x)))
+    mean = x.mean(axis=(0, 1, 2))
+    var = x.var(axis=(0, 1, 2))
+    ref = (x - mean) / np.sqrt(var + 1e-5)  # fresh gamma=1, beta=0
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+    assert normalizer_factory(type="syncbn").type == "syncbn"
+
+
+def test_infer_speed_cli(monkeypatch, capsys):
+    """detection_infer_speed runs end-to-end on the micro config."""
+    import sys
+
+    import detection_infer_speed
+    monkeypatch.setattr(sys, "argv", [
+        "detection_infer_speed.py", "--config", "config/micro_test.py",
+        "--shape", "64", "96", "--count", "2"])
+    detection_infer_speed.main()
+    out = capsys.readouterr().out
+    assert "ms per image" in out and "img/s" in out
