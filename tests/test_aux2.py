@@ -136,3 +136,26 @@ def test_infer_speed_cli(monkeypatch, capsys):
     detection_infer_speed.main()
     out = capsys.readouterr().out
     assert "ms per image" in out and "img/s" in out
+
+
+def test_visualize_batch(tmp_path):
+    """Loader-batch visualizer writes overlay PNGs (debug hook)."""
+    from simpledet_tpu.utils.visualize import (visualize_batch,
+                                               visualize_detections)
+    rng = np.random.RandomState(0)
+    batch = {
+        "data": rng.rand(2, 64, 96, 3).astype(np.float32),
+        "gt_bbox": np.asarray([[[10, 10, 50, 40, 2], [-1] * 5],
+                               [[5, 5, 30, 30, 1], [40, 20, 90, 60, 3]]],
+                              np.float32),
+    }
+    paths = visualize_batch(batch, str(tmp_path))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    import cv2
+    img = cv2.imread(paths[0])
+    assert img.shape == (64, 96, 3)
+    out = visualize_detections(
+        (batch["data"][0] * 255).astype(np.uint8),
+        np.asarray([[10, 10, 50, 40]]), np.asarray([0.9]), np.asarray([1]),
+        str(tmp_path / "det.png"))
+    assert os.path.exists(out)
