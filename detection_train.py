@@ -12,7 +12,7 @@ import time
 import numpy as np
 
 
-def train_net(config_path, max_iter_override=None):
+def train_net(config_path, max_iter_override=None, auto_resume=False):
     import jax
     import jax.numpy as jnp
 
@@ -87,6 +87,12 @@ def train_net(config_path, max_iter_override=None):
     begin_epoch = OptimizeParam.schedule.begin_epoch
     end_epoch = OptimizeParam.schedule.end_epoch
     prefix = os.path.join(exp_dir, "checkpoint")
+    if auto_resume:
+        # --resume: continue from the newest checkpoint without editing the
+        # config (reference recovery = manual begin_epoch edit, SURVEY §5)
+        latest = get_latest_ckpt_epoch(prefix)
+        if latest is not None:
+            begin_epoch = max(begin_epoch, latest)
     if begin_epoch > 0:
         params, _ = load_checkpoint(prefix, begin_epoch, params)
         logger.info(f"resumed from epoch {begin_epoch}")
@@ -193,5 +199,7 @@ if __name__ == "__main__":
     ap.add_argument("--config", required=True)
     ap.add_argument("--max-iter", type=int, default=None,
                     help="stop early (smoke tests)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in experiments/")
     args = ap.parse_args()
-    train_net(args.config, args.max_iter)
+    train_net(args.config, args.max_iter, auto_resume=args.resume)

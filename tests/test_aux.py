@@ -118,3 +118,28 @@ def test_cosine_schedule_config(micro_data):
     import jax as _jax
     assert all(np.isfinite(np.asarray(x)).all()
                for x in _jax.tree.leaves(state.params))
+
+
+def test_auto_resume(micro_data):
+    """--resume picks up the latest epoch checkpoint without config edits."""
+    import shutil as _sh
+    cfg_path = os.path.join(DATA_ROOT, "micro_resume.py")
+    with open("config/micro_test.py") as f:
+        src = f.read()
+    src = src.replace("end_epoch = 1", "end_epoch = 2")
+    src = src.replace('name = "micro_test"', 'name = "micro_resume"')
+    src = src.replace('prefix = "experiments/micro_test/checkpoint"',
+                      'prefix = "experiments/micro_resume/checkpoint"')
+    with open(cfg_path, "w") as f:
+        f.write(src)
+    _sh.rmtree("experiments/micro_resume", ignore_errors=True)
+    from detection_train import train_net
+    from simpledet_tpu.core.checkpoint import get_latest_ckpt_epoch
+    # first run: stop after epoch 0's checkpoint (simulated crash at epoch 1)
+    train_net(cfg_path, max_iter_override=1)
+    before = get_latest_ckpt_epoch("experiments/micro_resume/checkpoint")
+    assert before == 1  # wrote checkpoint-1 then "crashed"
+    # resumed run starts at epoch `before`, trains it, writes checkpoint-2
+    train_net(cfg_path, max_iter_override=1, auto_resume=True)
+    after = get_latest_ckpt_epoch("experiments/micro_resume/checkpoint")
+    assert after == 2
