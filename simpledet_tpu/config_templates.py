@@ -18,7 +18,7 @@ Hyperparameters mirror the reference experiment files of the same names.
 def faster_fpn_config(is_train, name, *, depth=50, variant="v1",
                       fp16=False, schedule_mult=1, backbone=None, neck=None,
                       rpn_head=None, bbox_head=None, detector=None,
-                      num_class=81):
+                      num_class=81, neck_attrs=None):
     from mxnext.complicate import normalizer_factory
 
     class General:
@@ -141,6 +141,8 @@ def faster_fpn_config(is_train, name, *, depth=50, variant="v1",
     detector = (detector or FasterRcnn)()
 
     bb = backbone(BackboneParam)
+    for k, v in (neck_attrs or {}).items():
+        setattr(NeckParam, k, v)
     nk = neck(NeckParam)
     rh = rpn_head(RpnParam)
     re = FPNRoiAlign(RoiParam)

@@ -81,6 +81,17 @@ class FPNRpnHead:
             grids.append(generate_anchor_grid(fh, fw, s, self.scales, self.ratios))
         return jnp.asarray(np.concatenate(grids, axis=0))
 
+    def _level_shapes(self, level_outputs):
+        """Actual per-level (H, W) from head outputs, in stride order.
+
+        Necks whose extra levels come from clamped/VALID pooling (FPG, NASFPN
+        tiny inputs) can deviate from ceil(dim/stride), so anchor grids must
+        follow the real feature shapes, not the padded image shape.
+        """
+        keys = sorted(level_outputs,
+                      key=lambda s: int(s.replace("stride", "")))
+        return [level_outputs[k][0].shape[1:3] for k in keys]
+
     @staticmethod
     def flatten_outputs(level_outputs):
         """[B,H,W,kA] per level -> concat [B, sum(HWA), k] (k=2 cls, 4 reg)."""
@@ -96,7 +107,11 @@ class FPNRpnHead:
         """Returns (loss dict, aux dict for metrics)."""
         p = self.p
         cls_logit, reg_delta = self.flatten_outputs(level_outputs)
-        anchors = self.anchors_for(pad_hw)
+        anchors = jnp.concatenate([
+            jnp.asarray(generate_anchor_grid(fh, fw, s, self.scales,
+                                             self.ratios))
+            for s, (fh, fw) in zip(self.strides,
+                                   self._level_shapes(level_outputs))], 0)
         label, target, weight = batched_anchor_target(
             rng, anchors, gt_bbox, im_info[:, :2],
             allowed_border=p.anchor_assign.allowed_border,
@@ -149,7 +164,10 @@ class FPNRpnHead:
         min_size = p.proposal.min_bbox_side or 0
         keys = sorted(level_outputs,
                       key=lambda s: int(s.replace("stride", "")))
-        anchors = self._level_anchors(pad_hw)
+        anchors = [jnp.asarray(generate_anchor_grid(fh, fw, s, self.scales,
+                                                    self.ratios))
+                   for s, (fh, fw) in zip(self.strides,
+                                          self._level_shapes(level_outputs))]
         b = level_outputs[keys[0]][0].shape[0]
         n_level = len(keys)
 
@@ -196,10 +214,3 @@ class FPNRpnHead:
             lambda bx, sc: top_proposals([bx], [sc], post))(ob, osc)
         return jax.lax.stop_gradient(boxes), jax.lax.stop_gradient(scores)
 
-    def _level_anchors(self, pad_hw):
-        out = []
-        for s in self.strides:
-            fh, fw = feature_shape(pad_hw, s)
-            out.append(jnp.asarray(
-                generate_anchor_grid(fh, fw, s, self.scales, self.ratios)))
-        return out

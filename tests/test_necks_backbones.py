@@ -170,3 +170,36 @@ def test_retina_with_nasfpn_e2e():
     assert np.isfinite(float(total))
     gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_fpg_faster_e2e():
+    """FPG config group: train losses finite + test contract (the pooled P6
+    level deviates from ceil(dim/stride), so anchors must follow the actual
+    feature shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from simpledet_tpu.core.config import load_config
+
+    cfg = load_config("config/FPG/faster_r50v1b_fpg6_128_syncbn_1x.py")
+    model = cfg.get_config(True)[6].train_symbol
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randn(1, 64, 96, 3), jnp.float32)
+    im_info = jnp.asarray([[64, 96, 1.0]], jnp.float32)
+    gt = np.full((1, 10, 5), -1, np.float32)
+    gt[0, 0] = [10, 10, 50, 40, 2]
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "sampling": jax.random.PRNGKey(1)},
+                   data, im_info, jnp.asarray(gt), mode="train")
+    out = model.apply(v, data, im_info, jnp.asarray(gt), mode="train",
+                      rngs={"sampling": jax.random.PRNGKey(2)})
+    losses = out[0] if isinstance(out, tuple) else out
+    for k, x in losses.items():
+        if jnp.ndim(x) == 0:
+            assert np.isfinite(float(x)), k
+    modelT = cfg.get_config(False)[6].test_symbol
+    vT = modelT.init({"params": jax.random.PRNGKey(0),
+                      "sampling": jax.random.PRNGKey(1)}, data, im_info,
+                     mode="test")
+    oT = modelT.apply(vT, data, im_info, mode="test")
+    assert {"bbox_xyxy", "cls_score", "rois"} <= set(oT)
