@@ -37,4 +37,16 @@ def get_config(is_train):
             FPNRoiAlign(RoiParam), FPNBbox2fcHead(BboxParam),
             FitNetHead(KDParam))
         cfg[11] = ["gt_bbox", "im_info", "teacher_label"]
+
+        # frozen teacher: R152v1b Faster 2x checkpoint, c4 features
+        # (reference config/kd/faster_r50v1b_fpn_1x_fitnet_g5.py:145-150)
+        from simpledet_tpu.dsl import ResNet152V1bFPN
+
+        class teacher_param:
+            backbone = ResNet152V1bFPN(_B)
+            prefix = "teacher_model/faster_r152v1b_fpn_2x/checkpoint"
+            epoch = 12
+            endpoint = "c4"
+
+        ModelParam.teacher_param = teacher_param
     return tuple(cfg)

@@ -63,7 +63,7 @@ def test_net(config_path, max_images=None):
     prefix = TestParam.model.prefix
     epoch = TestParam.model.epoch or get_latest_ckpt_epoch(prefix)
     if epoch is not None and os.path.exists(f"{prefix}-{epoch:04d}.params"):
-        params, _ = load_checkpoint(prefix, epoch, params)
+        params, _, _ = load_checkpoint(prefix, epoch, params)
         logger.info(f"loaded {prefix}-{epoch:04d}.params")
     else:
         logger.info("WARNING: no checkpoint found, using random params")

@@ -61,9 +61,11 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
     roidb = [r for r in roidb if len(r.get("gt_bbox", []))]
     roidb = append_flipped(roidb)
     logger.info(f"{len(roidb)} records (with flips)")
-    # batch keys: data + whatever labels the config declares (e.g. gt_poly)
-    keys = tuple(dict.fromkeys(
-        ["data", "im_info", "gt_bbox"] + list(label_name or [])))
+    # batch keys: data + whatever labels the config declares (e.g. gt_poly).
+    # teacher_label is synthesized by the teacher forward, not the loader.
+    keys = tuple(k for k in dict.fromkeys(
+        ["data", "im_info", "gt_bbox"] + list(label_name or []))
+        if k != "teacher_label")
     loader = Loader(roidb, transform, global_batch, shuffle=True,
                     num_workers=General.loader_worker or 8,
                     rank=jax.process_index(), num_ranks=jax.process_count(),
@@ -76,6 +78,16 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
                                shuffle=False, num_workers=0, keys=keys)))
     extra0 = {k: jnp.asarray(v) for k, v in sample0.items()
               if k not in ("data", "im_info", "gt_bbox", "valid")}
+
+    # KD: frozen teacher producing the teacher_label input per batch
+    # (reference detection_train.py:172-184 + models/KD/detection_module.py:48)
+    teacher_fn = None
+    if ModelParam.teacher_param and ModelParam.teacher_param.backbone \
+            is not None:
+        from simpledet_tpu.models.kd import create_teacher_fn
+        teacher_fn = create_teacher_fn(ModelParam.teacher_param,
+                                       jnp.asarray(sample0["data"]), logger)
+        extra0["teacher_label"] = teacher_fn(jnp.asarray(sample0["data"]))
     variables = model.init(
         {"params": rng, "sampling": jax.random.fold_in(rng, 1)},
         jnp.asarray(sample0["data"]), jnp.asarray(sample0["im_info"]),
@@ -93,9 +105,13 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
         latest = get_latest_ckpt_epoch(prefix)
         if latest is not None:
             begin_epoch = max(begin_epoch, latest)
+    resume_opt_state = resume_step = None
     if begin_epoch > 0:
-        params, _ = load_checkpoint(prefix, begin_epoch, params)
-        logger.info(f"resumed from epoch {begin_epoch}")
+        params, resume_opt_state, resume_step = load_checkpoint(
+            prefix, begin_epoch, params)
+        logger.info(f"resumed from epoch {begin_epoch}"
+                    + (" (with optimizer state)" if resume_opt_state is not None
+                       else ""))
     elif not ModelParam.from_scratch:
         try:
             params, n_hit = load_pretrain(params, ModelParam.pretrain.prefix,
@@ -105,28 +121,42 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
             logger.info("no pretrain found, training from random init")
 
     # optimizer --------------------------------------------------------------
+    # iter_per_epoch: config override or derived from the (rank-sharded)
+    # loader, like the reference's len(train_data) (detection_train.py:199)
+    iter_per_epoch = (OptimizeParam.schedule.iter_per_epoch
+                      or max(len(loader), 1))
+    total_iter = iter_per_epoch * (end_epoch or 1)
+    # multi-worker linear scaling (reference detection_train.py:196-213)
+    from simpledet_tpu.core.schedule import apply_dp_scaling
+    base_lr, lr_iter, warm_iter = apply_dp_scaling(
+        OptimizeParam.optimizer.lr, OptimizeParam.schedule.lr_iter or [],
+        OptimizeParam.warmup.iter or 0, jax.process_count(),
+        total_iter=total_iter, warmup_in_pct=bool(OptimizeParam.warmup.in_pct))
+    # schedules live in GLOBAL iteration space; on resume the optimizer step
+    # count is restored (or fast-forwarded), so no begin_epoch offset is
+    # subtracted from the boundaries (unlike reference :203, whose optimizer
+    # always restarts at 0)
     lr_mode = OptimizeParam.schedule.lr_mode  # None | cosine | poly | linear
     if lr_mode:
         # AdvancedLRScheduler analog (reference utils/lr_scheduler.py:92):
         # warmup then cosine/poly/linear decay over the full run
         from simpledet_tpu.core.schedule import advanced, sequential
-        total_iter = ((OptimizeParam.schedule.iter_per_epoch or 1)
-                      * (OptimizeParam.schedule.end_epoch or 1))
-        warm_iter = OptimizeParam.warmup.iter or 0
         warm = warmup_multifactor(
-            OptimizeParam.optimizer.lr, [],
+            base_lr, [],
             warmup_type=OptimizeParam.warmup.type or "gradual",
             warmup_lr=OptimizeParam.warmup.lr, warmup_iter=warm_iter)
         sched = sequential(
-            [warm, advanced(OptimizeParam.optimizer.lr,
-                            max(total_iter - warm_iter, 1), mode=lr_mode)],
+            [warm, advanced(base_lr, max(total_iter - warm_iter, 1),
+                            mode=lr_mode)],
             [warm_iter])
     else:
         sched = warmup_multifactor(
-            OptimizeParam.optimizer.lr, OptimizeParam.schedule.lr_iter or [],
+            base_lr, lr_iter,
             warmup_type=OptimizeParam.warmup.type or "gradual",
             warmup_lr=OptimizeParam.warmup.lr,
-            warmup_iter=OptimizeParam.warmup.iter or 0)
+            warmup_iter=warm_iter)
+    logger.info(f"iter_per_epoch {iter_per_epoch}, total_iter {total_iter}, "
+                f"lr {base_lr}, lr_iter {lr_iter}, warmup_iter {warm_iter}")
     mask = freeze_mask(params, ModelParam.pretrain.fixed_param or [],
                        ModelParam.pretrain.excluded_param)
     tx = make_optimizer(sched, momentum=OptimizeParam.optimizer.momentum or 0.9,
@@ -134,15 +164,26 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
                         clip_gradient=OptimizeParam.optimizer.clip_gradient,
                         trainable_mask=mask)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    if resume_opt_state is not None:
+        # full resume: momentum buffers + schedule position
+        # (reference core/detection_module.py:813-842 load_states)
+        step0 = (resume_step if resume_step is not None
+                 else begin_epoch * iter_per_epoch)
+        state = state.replace(opt_state=resume_opt_state, step=step0)
+    elif begin_epoch > 0:
+        # params-only checkpoint: fresh optimizer, but fast-forward the
+        # schedule so warmup isn't replayed and decay boundaries hold
+        import optax.tree_utils as otu
+        step0 = begin_epoch * iter_per_epoch
+        opt_state = otu.tree_set(state.opt_state,
+                                 count=jnp.asarray(step0, jnp.int32))
+        state = state.replace(opt_state=opt_state, step=step0)
 
     mesh = make_mesh(devices)
     step_fn = make_train_step(model, mesh=mesh,
                               remat=bool(ModelParam.memonger))
     metrics = CompositeMetric(metric_list)
     speedo = Speedometer(global_batch, General.log_frequency or 10, logger)
-
-    iter_per_epoch = (OptimizeParam.schedule.iter_per_epoch
-                      or max(len(loader), 1))
     # optional aux subsystems: profiler window (reference MXNet profiler on
     # batches 1-10, detection_train.py:274-276 / detection_module.py:998),
     # scalar summaries (mxboard analog), iter-granular checkpoints
@@ -155,40 +196,59 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
     ckpt_iter = General.checkpoint_iter  # e.g. 5000 -> save every 5k iters
 
     step_rng = jax.random.PRNGKey(42)
-    n_iter = 0
+    n_iter = int(state.step)
+    steps_this_run = 0
+    pending = None  # previous iter's device outputs — one-step-lagged metric
+    # accumulation keeps running means (reference detection_module.py:1009)
+    # without forcing a host sync on the just-dispatched step
+
+    def drain_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        p_losses, p_aux = pending
+        aux_host = jax.tree.map(np.asarray, p_aux)
+        aux_host.update(jax.tree.map(np.asarray, p_losses))
+        metrics.update(aux_host)
+        pending = None
+
     for epoch in range(begin_epoch, end_epoch):
         logger.info(f"starting epoch {epoch}")
         for batch in loader:
-            if profile and n_iter == 1:
+            if profile and steps_this_run == 1:
                 jax.profiler.start_trace(os.path.join(exp_dir, "profile"))
             batch.pop("valid", None)
+            if teacher_fn is not None:
+                batch["teacher_label"] = teacher_fn(jnp.asarray(batch["data"]))
             dev_batch = shard_batch(batch, mesh)
             state, losses, aux = step_fn(state, dev_batch,
                                          jax.random.fold_in(step_rng, n_iter))
             n_iter += 1
-            if profile and n_iter == 10:
+            steps_this_run += 1
+            if profile and steps_this_run == 10:
                 jax.tree.map(lambda x: x.block_until_ready(), losses)
                 jax.profiler.stop_trace()
                 logger.info(f"profiler trace written to {exp_dir}/profile")
+            drain_pending()
+            pending = (losses, aux)
             if n_iter % (General.log_frequency or 10) == 0:
-                aux_host = jax.tree.map(np.asarray, aux)
-                aux_host.update(jax.tree.map(np.asarray, losses))
-                metrics.update(aux_host)
+                drain_pending()
                 if writer:
-                    for k, v in losses.items():
-                        writer.add_scalar(f"train/{k}", float(np.asarray(v)),
-                                          n_iter)
+                    for name, val in metrics.get():
+                        writer.add_scalar(f"train/{name}", val, n_iter)
                 speedo(epoch, n_iter, metrics, lr=float(sched(n_iter)))
             else:
                 speedo(epoch, n_iter)
             if ckpt_iter and n_iter % ckpt_iter == 0:
                 save_checkpoint(prefix + "_iter", n_iter, state.params,
-                                state.opt_state)
-            if max_iter_override and n_iter >= max_iter_override:
+                                state.opt_state, step=state.step)
+            if max_iter_override and steps_this_run >= max_iter_override:
                 break
-        save_checkpoint(prefix, epoch + 1, state.params, state.opt_state)
+        drain_pending()
+        save_checkpoint(prefix, epoch + 1, state.params, state.opt_state,
+                        step=state.step)
         logger.info(f"saved checkpoint epoch {epoch + 1}")
-        if max_iter_override and n_iter >= max_iter_override:
+        if max_iter_override and steps_this_run >= max_iter_override:
             break
     logger.info("training done")
     return state

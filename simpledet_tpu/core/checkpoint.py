@@ -22,7 +22,7 @@ def _states_path(prefix, epoch):
     return f"{prefix}-{epoch:04d}.states"
 
 
-def save_checkpoint(prefix, epoch, params, opt_state=None):
+def save_checkpoint(prefix, epoch, params, opt_state=None, step=None):
     if jax.process_index() != 0:
         return
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
@@ -30,19 +30,29 @@ def save_checkpoint(prefix, epoch, params, opt_state=None):
     with open(_params_path(prefix, epoch), "wb") as f:
         f.write(flax.serialization.to_bytes(params))
     if opt_state is not None:
+        states = {"opt_state": jax.tree.map(np.asarray, opt_state),
+                  "step": int(step) if step is not None else None}
         with open(_states_path(prefix, epoch), "wb") as f:
-            pickle.dump(jax.tree.map(np.asarray, opt_state), f)
+            pickle.dump(states, f)
 
 
 def load_checkpoint(prefix, epoch, params_template):
+    """Returns (params, opt_state, step). opt_state/step are None when no
+    .states file exists (e.g. params-only pretrain checkpoints); resuming
+    then restarts the optimizer like the reference without -%04d.states
+    (core/detection_module.py:813-842)."""
     with open(_params_path(prefix, epoch), "rb") as f:
         params = flax.serialization.from_bytes(params_template, f.read())
-    opt_state = None
+    opt_state, step = None, None
     sp = _states_path(prefix, epoch)
     if os.path.exists(sp):
         with open(sp, "rb") as f:
-            opt_state = pickle.load(f)
-    return params, opt_state
+            states = pickle.load(f)
+        if isinstance(states, dict) and "opt_state" in states:
+            opt_state, step = states["opt_state"], states.get("step")
+        else:  # legacy: raw opt_state tree
+            opt_state = states
+    return params, opt_state, step
 
 
 def get_latest_ckpt_epoch(prefix):

@@ -1,11 +1,35 @@
 """LR schedules: warmup + multi-factor step decay, cosine/poly/linear.
 
 Mirrors utils/lr_scheduler.py (WarmupMultiFactorScheduler:5,
-AdvancedLRScheduler:92) as optax schedules. The reference's distributed
-scaling rules (detection_train.py:196-245: lr x workers, iters / workers,
-warmup constant/gradual) are applied by the caller against the global batch.
+AdvancedLRScheduler:92) as optax schedules, plus the reference's
+distributed linear-scaling rules (apply_dp_scaling below).
 """
 import optax
+
+
+def apply_dp_scaling(lr, lr_iter, warmup_iter, num_workers, total_iter=None,
+                     warmup_in_pct=False):
+    """The reference's multi-worker linear-scaling rules
+    (detection_train.py:196-213):
+
+      * base lr x num_workers
+      * negative lr_iter entries resolve against total_iter
+      * lr_iter // num_workers (config boundaries are single-worker counts)
+      * warmup iter // num_workers when ``warmup.in_pct`` is set
+
+    Gradient rescaling (1/(ndev*workers)) needs no counterpart here: the
+    train step averages the loss over the global batch.
+
+    Returns (scaled_lr, scaled_lr_iter, scaled_warmup_iter).
+    """
+    num_workers = max(int(num_workers), 1)
+    lr_iter = list(lr_iter or [])
+    if total_iter is not None:
+        lr_iter = [total_iter + it if it < 0 else it for it in lr_iter]
+    lr_iter = [it // num_workers for it in lr_iter]
+    if warmup_in_pct and warmup_iter:
+        warmup_iter = warmup_iter // num_workers
+    return lr * num_workers, lr_iter, warmup_iter
 
 
 def warmup_multifactor(base_lr, lr_iters, factor=0.1, warmup_type="gradual",

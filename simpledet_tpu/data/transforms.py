@@ -51,9 +51,20 @@ class Norm2DImage(DetectionAugmentation):
         return r
 
 
+def _scale_clip_gt(gt_bbox, scale, nh, nw):
+    """Scale gt coords and clip them to the resized image, like the
+    reference's "make sure gt boxes do not overflow"
+    (core/detection_input.py:94-96)."""
+    gt = gt_bbox.astype(np.float32, copy=True)
+    gt[:, :4] *= scale
+    gt[:, [0, 2]] = np.clip(gt[:, [0, 2]], 0, nw - 1)
+    gt[:, [1, 3]] = np.clip(gt[:, [1, 3]], 0, nh - 1)
+    return gt
+
+
 class Resize2DImageBbox(DetectionAugmentation):
     """Aspect-preserving short/long-side resize; writes im_info=[h',w',scale]
-    (core/detection_input.py:69-103) and scales gt boxes."""
+    (core/detection_input.py:69-103) and scales + clips gt boxes."""
 
     def __init__(self, pResize):
         self.short = pResize.short
@@ -67,7 +78,7 @@ class Resize2DImageBbox(DetectionAugmentation):
         r["image"] = cv2.resize(img, (nw, nh),
                                 interpolation=cv2.INTER_LINEAR)
         if len(r["gt_bbox"]):
-            r["gt_bbox"] = r["gt_bbox"] * scale
+            r["gt_bbox"] = _scale_clip_gt(r["gt_bbox"], scale, nh, nw)
         r["im_info"] = np.array([nh, nw, scale], np.float32)
         return r
 
@@ -88,7 +99,7 @@ class RandResize2DImageBbox(DetectionAugmentation):
         r["image"] = cv2.resize(img, (nw, nh),
                                 interpolation=cv2.INTER_LINEAR)
         if len(r["gt_bbox"]):
-            r["gt_bbox"] = r["gt_bbox"] * scale
+            r["gt_bbox"] = _scale_clip_gt(r["gt_bbox"], scale, nh, nw)
         r["im_info"] = np.array([nh, nw, scale], np.float32)
         return r
 

@@ -63,6 +63,10 @@ class ResNet101V1bFPN(_BackboneBase):
     depth, variant, num_stages = 101, "v1b", 4
 
 
+class ResNet152V1bFPN(_BackboneBase):
+    depth, variant, num_stages = 152, "v1b", 4
+
+
 class ResNet50V1dFPN(_BackboneBase):
     depth, variant, num_stages = 50, "v1d", 4
 

@@ -216,7 +216,7 @@ def batched_multilevel_roi_align(feats, rois, strides, *, out_size,
     window DMA kernel), "gather" (default / semantics oracle). Override
     with SIMPLEDET_ROI_ALIGN.
 
-    Measured on v5e (perf_probe2/3): gather is ~130ms standalone for 512
+    Measured on v5e (tools/perf_probe_components.py): gather is ~130ms standalone for 512
     rois but XLA fuses it best inside the full train step; the crop scan
     pays per-iteration dispatch (~7x slower end to end) and the pallas
     window kernel pays per-grid-step DMA latency (~145us/roi). gather is

@@ -107,6 +107,57 @@ class FitNetRetinaNet(RetinaNet):
                 "det_valid": valid}
 
 
+def create_teacher_fn(teacher_param, example_data, logger=None):
+    """Build the frozen-teacher feature fn from config — the TPU analog of
+    create_teacher_module (reference models/KD/utils.py:8, wired in
+    detection_train.py:172-181).
+
+    teacher_param fields (nothrow-patched config class):
+      backbone  - a DSL Backbone wrapper (its .module is used) or a bare
+                  flax module mapping data -> {c2..c5} feature dict; the
+                  analog of loading prefix-symbol.json + slicing `endpoint`
+      prefix    - checkpoint prefix holding the teacher params (either a
+                  full detector tree with a top-level 'backbone' subtree or
+                  a bare backbone tree)
+      epoch     - checkpoint epoch
+      endpoint  - feature key emitted as teacher_label (default 'c4')
+    """
+    import numpy as np
+    import flax
+
+    from simpledet_tpu.core.checkpoint import _params_path
+
+    tp = teacher_param
+    module = tp.backbone.module if hasattr(tp.backbone, "module") \
+        else tp.backbone
+    stage = tp.endpoint or "c4"
+    if isinstance(stage, (list, tuple)):
+        stage = stage[0]
+    params = module.init(jax.random.PRNGKey(0), example_data[:1])["params"]
+    if tp.prefix:
+        path = _params_path(tp.prefix, tp.epoch or 0)
+        with open(path, "rb") as f:
+            raw = flax.serialization.msgpack_restore(f.read())
+        loaded = flax.traverse_util.flatten_dict(raw)
+        flat = flax.traverse_util.flatten_dict(params)
+        out, n_hit = {}, 0
+        for p_, v in flat.items():
+            for cand in (("backbone",) + p_, p_):
+                got = loaded.get(cand)
+                if got is not None and got.shape == v.shape:
+                    out[p_] = np.asarray(got, v.dtype)
+                    n_hit += 1
+                    break
+            else:
+                out[p_] = v
+        params = flax.traverse_util.unflatten_dict(out)
+        if logger:
+            logger.info(f"teacher: {n_hit}/{len(flat)} tensors from {path}")
+        if n_hit == 0:
+            raise ValueError(f"teacher checkpoint {path} matched 0 tensors")
+    return make_teacher_fn(module, params, stage=stage)
+
+
 def make_teacher_fn(teacher_backbone_module, teacher_params, stage="c4"):
     """Jitted frozen-teacher feature extractor: batch data -> teacher_label.
 

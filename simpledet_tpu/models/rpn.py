@@ -151,7 +151,7 @@ class FPNRpnHead:
 
         All levels' pre-NMS pools are padded to a common size and stacked so
         ONE vmapped NMS covers every (image, level) pair — per-level
-        sequential NMS calls cost ~8ms each on TPU (perf_probe2).
+        sequential NMS calls cost ~8ms each on TPU (tools/perf_probe_components.py).
         """
         from simpledet_tpu.ops.bbox import clip_boxes, decode_boxes
         from simpledet_tpu.ops.nms import NEG_INF, nms

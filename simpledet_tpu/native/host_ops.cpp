@@ -105,7 +105,9 @@ PyObject* cpu_soft_nms(PyObject*, PyObject* args) {
         if (ov > Nt) weight = 0.0f;
       }
       d[pos * 5 + 4] *= weight;
-      if (d[pos * 5 + 4] < thresh) {
+      // cython cpu_soft_nms only runs the drop check inside the
+      // iw>0 && ih>0 branch: untouched boxes are never dropped
+      if (ov > 0 && d[pos * 5 + 4] < thresh) {
         for (int c = 0; c < 5; ++c) std::swap(d[pos * 5 + c], d[(N - 1) * 5 + c]);
         --N;
       } else {

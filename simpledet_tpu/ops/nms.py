@@ -161,32 +161,42 @@ def soft_nms(boxes, scores, max_out, thr=0.3, sigma=0.5, score_thresh=0.001,
 
     Sequential: at each of max_out steps pick the current argmax, decay the
     rest. Returns (boxes [max_out,4], scores [max_out], idx [max_out], valid).
+
+    Reference semantics (cpu_nms.pyx:97-204): each round the max-score box
+    still in the pool becomes a detection at its current (possibly decayed)
+    score; remaining pool scores are decayed by overlap against it, and any
+    box whose decayed score falls below ``score_thresh`` is dropped from the
+    pool entirely (never selected, never returned). Boxes that *start* below
+    the threshold remain selectable until decayed — the reference only drops
+    on update.
     """
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
-    cur = jnp.where(valid, scores, NEG_INF)
 
-    def step(cur_scores, _):
-        i = jnp.argmax(cur_scores)
-        s_i = cur_scores[i]
+    def step(carry, _):
+        cur_scores, alive = carry
+        masked = jnp.where(alive, cur_scores, NEG_INF)
+        i = jnp.argmax(masked)
+        s_i = masked[i]
+        sel_valid = s_i > NEG_INF / 2
         box_i = boxes[i]
         iou = bbox_overlaps(box_i[None, :], boxes, legacy_plus_one)[0]
         if method == "linear":
             decay = jnp.where(iou > thr, 1.0 - iou, 1.0)
+        elif method == "hard":
+            decay = jnp.where(iou > thr, 0.0, 1.0)
         else:
             decay = jnp.exp(-(iou * iou) / sigma)
         new_scores = cur_scores * decay
-        # remove the selected box from the pool
-        new_scores = new_scores.at[i].set(NEG_INF)
-        new_scores = jnp.where(new_scores < jnp.log1p(0.0) + score_thresh,
-                               jnp.where(new_scores <= NEG_INF / 2, NEG_INF, new_scores),
-                               new_scores)
-        return new_scores, (box_i, s_i, i)
+        # the reference runs the drop check for every box with ANY overlap
+        # (iw>0 and ih>0), even when the weight is 1.0
+        alive = alive & ~((iou > 0) & (new_scores < score_thresh))
+        alive = alive.at[i].set(False)
+        return (new_scores, alive), (box_i, s_i, i, sel_valid)
 
-    _, (out_boxes, out_scores, out_idx) = jax.lax.scan(
-        step, cur, None, length=max_out)
-    out_valid = out_scores > score_thresh
+    _, (out_boxes, out_scores, out_idx, out_valid) = jax.lax.scan(
+        step, (scores, valid), None, length=max_out)
     out_idx = jnp.where(out_valid, out_idx, -1)
     out_boxes = jnp.where(out_valid[:, None], out_boxes, 0.0)
     out_scores = jnp.where(out_valid, out_scores, NEG_INF)

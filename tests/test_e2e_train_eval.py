@@ -53,11 +53,29 @@ def test_eval_pipeline(trained, micro_data):
 def test_checkpoint_roundtrip(trained):
     import jax
     from simpledet_tpu.core.checkpoint import load_checkpoint
-    params, opt_state = load_checkpoint(
+    params, opt_state, _step = load_checkpoint(
         "experiments/micro_test/checkpoint", 1, trained.params)
     a = jax.tree.leaves(trained.params)[0]
     b = jax.tree.leaves(params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kd_teacher_train_e2e(trained):
+    """KD config trains via the real CLI: the frozen teacher (micro_test
+    checkpoint) produces teacher_label per batch and the fit loss is live
+    (reference detection_train.py:172-184)."""
+    import shutil as _sh
+    _sh.rmtree("experiments/kd_micro_test", ignore_errors=True)
+    from detection_train import train_net
+    state = train_net("config/kd_micro_test.py", max_iter_override=2)
+    assert os.path.exists("experiments/kd_micro_test/checkpoint-0001.params")
+    # the student hint adapter must exist and have been updated
+    import jax
+    flat = {"/".join(map(str, k)): v for k, v in
+            __import__("flax").traverse_util.flatten_dict(
+                state.params).items()}
+    hint = [k for k in flat if "student_hint_conv" in k]
+    assert hint, sorted(flat)[:20]
 
 
 def test_retina_single_stage_e2e(micro_data):

@@ -40,6 +40,36 @@ def test_nms_keep_sorted_dedups_identical():
     assert keep.tolist() == [True, False, False, False, False]
 
 
+def test_soft_nms_parity_with_native():
+    """Device soft-NMS must match the native C++ port of cython cpu_soft_nms
+    (reference operator_py/cython/cpu_nms.pyx:97-204) in all three modes:
+    same detections, same decayed scores, same selection order."""
+    from simpledet_tpu import native
+    if not native.NATIVE:
+        import pytest
+        pytest.skip("no native build")
+    rng = np.random.RandomState(7)
+    n = 48
+    boxes = rand_boxes(n, rng, size=80)  # small canvas -> heavy overlap
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    dets = np.concatenate([boxes, scores[:, None]], axis=1)
+    for method, mid in [("linear", 0), ("gaussian", 1), ("hard", 2)]:
+        want = native.cpu_soft_nms(dets.copy(), 0.5, 0.3, 0.05, mid)
+        ob, osc, oi, ov = jax.jit(
+            lambda b, s: soft_nms(b, s, n, thr=0.3, sigma=0.5,
+                                  score_thresh=0.05, method=method),
+            static_argnames=())(jnp.asarray(boxes), jnp.asarray(scores))
+        ov = np.asarray(ov)
+        got_boxes = np.asarray(ob)[ov]
+        got_scores = np.asarray(osc)[ov]
+        assert len(got_scores) == len(want), (method, len(got_scores),
+                                              len(want))
+        np.testing.assert_allclose(got_boxes, want[:, :4], atol=1e-4,
+                                   err_msg=method)
+        np.testing.assert_allclose(got_scores, want[:, 4], atol=1e-4,
+                                   err_msg=method)
+
+
 def test_soft_nms_decays_overlapping():
     boxes = jnp.asarray(
         [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], dtype=jnp.float32)
