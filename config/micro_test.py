@@ -28,7 +28,10 @@ def get_config(is_train):
         fp16 = General.fp16
 
     class NormalizeParam:
-        normalizer = normalizer_factory(type="fixbn")
+        # SIMPLEDET_MICRO_NORM lets derived micro configs (syncbn_micro_test)
+        # swap the normalizer without duplicating this file
+        normalizer = normalizer_factory(
+            type=os.environ.get("SIMPLEDET_MICRO_NORM", "fixbn"))
 
     class BackboneParam:
         fp16 = General.fp16

@@ -59,17 +59,30 @@ def test_net(config_path, max_images=None):
         jnp.asarray(sample0["data"]), jnp.asarray(sample0["im_info"]),
         mode="test")
     params = variables["params"]
+    batch_stats = None
 
     prefix = TestParam.model.prefix
     epoch = TestParam.model.epoch or get_latest_ckpt_epoch(prefix)
     if epoch is not None and os.path.exists(f"{prefix}-{epoch:04d}.params"):
         params, _, _ = load_checkpoint(prefix, epoch, params)
         logger.info(f"loaded {prefix}-{epoch:04d}.params")
+        if variables.get("batch_stats"):
+            # syncbn-trained: eval with the saved running statistics
+            from simpledet_tpu.core.checkpoint import load_batch_stats
+            batch_stats = load_batch_stats(prefix, epoch,
+                                           variables["batch_stats"])
+            logger.info("loaded SyncBN running stats"
+                        if batch_stats is not None else
+                        "WARNING: syncbn model without saved running stats; "
+                        "eval uses per-batch statistics")
     else:
         logger.info("WARNING: no checkpoint found, using random params")
 
-    fwd = jax.jit(lambda p, d, ii: model.apply({"params": p}, d, ii,
-                                               mode="test"))
+    def _vars(p):
+        return {"params": p, "batch_stats": batch_stats} if batch_stats \
+            else {"params": p}
+
+    fwd = jax.jit(lambda p, d, ii: model.apply(_vars(p), d, ii, mode="test"))
 
     nms_type = TestParam.nms.type or "nms"
     if nms_type not in ("softnms", "setnms"):

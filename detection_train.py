@@ -93,6 +93,7 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
         jnp.asarray(sample0["data"]), jnp.asarray(sample0["im_info"]),
         jnp.asarray(sample0["gt_bbox"]), mode="train", **extra0)
     params = variables["params"]
+    batch_stats = variables.get("batch_stats") or None  # SyncBN running stats
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"{n_params / 1e6:.1f}M params")
 
@@ -163,7 +164,13 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
                         wd=OptimizeParam.optimizer.wd or 0.0,
                         clip_gradient=OptimizeParam.optimizer.clip_gradient,
                         trainable_mask=mask)
-    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx,
+                              batch_stats=batch_stats)
+    if begin_epoch > 0 and batch_stats is not None:
+        from simpledet_tpu.core.checkpoint import load_batch_stats
+        restored_bs = load_batch_stats(prefix, begin_epoch, batch_stats)
+        if restored_bs is not None:
+            state = state.replace(batch_stats=restored_bs)
     if resume_opt_state is not None:
         # full resume: momentum buffers + schedule position
         # (reference core/detection_module.py:813-842 load_states)
@@ -179,9 +186,22 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
                                  count=jnp.asarray(step0, jnp.int32))
         state = state.replace(opt_state=opt_state, step=step0)
 
+    # INT8 QAT (reference detection_train.py:145-152): wrap the forward in
+    # fake-quant on conv/dense inputs + kernels
+    quantize = None
+    qp = ModelParam.QuantizeTrainingParam
+    if ModelParam.quantize_flag or (qp is not None and qp.quantize_flag):
+        assert not General.fp16, "quantize training only supports fp32 mode"
+        quantize = {}
+        if qp is not None and qp.WeightQuantizeParam is not None \
+                and qp.WeightQuantizeParam.power2:
+            quantize["power2"] = True
+        logger.info("INT8 QAT enabled: fake-quant on conv/dense io+kernels")
+
     mesh = make_mesh(devices)
     step_fn = make_train_step(model, mesh=mesh,
-                              remat=bool(ModelParam.memonger))
+                              remat=bool(ModelParam.memonger),
+                              quantize=quantize)
     metrics = CompositeMetric(metric_list)
     speedo = Speedometer(global_batch, General.log_frequency or 10, logger)
     # optional aux subsystems: profiler window (reference MXNet profiler on
@@ -241,12 +261,13 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
                 speedo(epoch, n_iter)
             if ckpt_iter and n_iter % ckpt_iter == 0:
                 save_checkpoint(prefix + "_iter", n_iter, state.params,
-                                state.opt_state, step=state.step)
+                                state.opt_state, step=state.step,
+                                batch_stats=state.batch_stats)
             if max_iter_override and steps_this_run >= max_iter_override:
                 break
         drain_pending()
         save_checkpoint(prefix, epoch + 1, state.params, state.opt_state,
-                        step=state.step)
+                        step=state.step, batch_stats=state.batch_stats)
         logger.info(f"saved checkpoint epoch {epoch + 1}")
         if max_iter_override and steps_this_run >= max_iter_override:
             break

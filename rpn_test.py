@@ -65,13 +65,22 @@ def rpn_test_net(config_path, max_images=None):
 
     prefix = TestParam.model.prefix
     epoch = TestParam.model.epoch or get_latest_ckpt_epoch(prefix)
+    batch_stats = None
     if epoch is not None and os.path.exists(f"{prefix}-{epoch:04d}.params"):
         params, _, _ = load_checkpoint(prefix, epoch, params)
         logger.info(f"loaded {prefix}-{epoch:04d}.params")
+        if variables.get("batch_stats"):
+            from simpledet_tpu.core.checkpoint import load_batch_stats
+            batch_stats = load_batch_stats(prefix, epoch,
+                                           variables["batch_stats"])
     else:
         logger.info("WARNING: no checkpoint found, using random params")
 
-    fwd = jax.jit(lambda p, d, ii: model.apply({"params": p}, d, ii,
+    def _vars(p):
+        return {"params": p, "batch_stats": batch_stats} if batch_stats \
+            else {"params": p}
+
+    fwd = jax.jit(lambda p, d, ii: model.apply(_vars(p), d, ii,
                                                mode="rpn_test"))
     loader = Loader(roidb, transform, 1, shuffle=False, num_workers=4,
                     keys=("data", "im_info", "im_id"), pad_last=False,

@@ -22,7 +22,12 @@ def _states_path(prefix, epoch):
     return f"{prefix}-{epoch:04d}.states"
 
 
-def save_checkpoint(prefix, epoch, params, opt_state=None, step=None):
+def _batch_stats_path(prefix, epoch):
+    return f"{prefix}-{epoch:04d}.batch_stats"
+
+
+def save_checkpoint(prefix, epoch, params, opt_state=None, step=None,
+                    batch_stats=None):
     if jax.process_index() != 0:
         return
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
@@ -34,6 +39,24 @@ def save_checkpoint(prefix, epoch, params, opt_state=None, step=None):
                   "step": int(step) if step is not None else None}
         with open(_states_path(prefix, epoch), "wb") as f:
             pickle.dump(states, f)
+    if batch_stats:
+        # SyncBN running statistics (the reference's BN aux params,
+        # utils/load_model.py:18-39 'aux:' entries)
+        with open(_batch_stats_path(prefix, epoch), "wb") as f:
+            f.write(flax.serialization.to_bytes(
+                jax.tree.map(np.asarray, batch_stats)))
+
+
+def load_batch_stats(prefix, epoch, template=None):
+    """Running-stats collection saved next to the params, or None."""
+    p = _batch_stats_path(prefix, epoch)
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        raw = f.read()
+    if template is not None:
+        return flax.serialization.from_bytes(template, raw)
+    return flax.serialization.msgpack_restore(raw)
 
 
 def load_checkpoint(prefix, epoch, params_template):

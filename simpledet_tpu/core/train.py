@@ -18,7 +18,9 @@ from simpledet_tpu.parallel.mesh import data_sharding, replicated
 
 
 class TrainState(train_state.TrainState):
-    pass
+    # running BN statistics (SyncBN's moving mean/var collection); None for
+    # models without stateful normalizers
+    batch_stats: Any = None
 
 
 def create_train_state(rng, model, example_batch, tx):
@@ -27,10 +29,12 @@ def create_train_state(rng, model, example_batch, tx):
         example_batch["data"], example_batch["im_info"],
         example_batch["gt_bbox"], mode="train")
     params = variables["params"]
-    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx,
+                             batch_stats=variables.get("batch_stats") or None)
 
 
-def make_train_step(model, mesh=None, donate=True, remat=False):
+def make_train_step(model, mesh=None, donate=True, remat=False,
+                    quantize=None):
     """Returns step(state, batch, rng) -> (state, losses, aux).
 
     batch: dict with data [B,H,W,3], im_info [B,3], gt_bbox [B,G,5]; sharded
@@ -41,29 +45,55 @@ def make_train_step(model, mesh=None, donate=True, remat=False):
     equivalent of the reference's memonger mirror planning,
     utils/memonger_v2.py): matmul/conv outputs are kept, everything else is
     rematerialized in the backward pass.
+
+    quantize: None, or a dict of quantize_apply kwargs (e.g. {} for 8-bit
+    defaults) — INT8 QAT, the analog of the reference's
+    attach_quantize_node graph rewrite (detection_train.py:145-152).
     """
+    if quantize is not None:
+        from simpledet_tpu.ops.quant import quantize_apply
+        apply_fn = quantize_apply(model.apply, **quantize)
+    else:
+        apply_fn = model.apply
 
     def step(state, batch, rng):
+        has_bs = state.batch_stats is not None  # static at trace time
+
         def loss_fn(params):
             extra = {k: v for k, v in batch.items()
                      if k not in ("data", "im_info", "gt_bbox")}
-            def fwd(p, data, im_info, gt_bbox, extra_):
-                return state.apply_fn(
-                    {"params": p}, data, im_info, gt_bbox, mode="train",
+            def fwd(p, bs, data, im_info, gt_bbox, extra_):
+                variables = {"params": p}
+                if has_bs:
+                    # stateful normalizers (SyncBN running stats): collect
+                    # the EMA-updated collection alongside the outputs
+                    variables["batch_stats"] = bs
+                    (losses, aux), mut = apply_fn(
+                        variables, data, im_info, gt_bbox, mode="train",
+                        rngs={"sampling": rng}, mutable=["batch_stats"],
+                        **extra_)
+                    return losses, aux, mut.get("batch_stats", bs)
+                losses, aux = apply_fn(
+                    variables, data, im_info, gt_bbox, mode="train",
                     rngs={"sampling": rng}, **extra_)
+                return losses, aux, None
 
             if remat:
                 fwd = jax.checkpoint(
                     fwd,
                     policy=jax.checkpoint_policies
                     .dots_with_no_batch_dims_saveable)
-            losses, aux = fwd(params, batch["data"], batch["im_info"],
-                              batch["gt_bbox"], extra)
+            losses, aux, new_bs = fwd(params, state.batch_stats,
+                                      batch["data"], batch["im_info"],
+                                      batch["gt_bbox"], extra)
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
-            return total, (losses, aux)
+            return total, (losses, aux, new_bs)
 
-        grads, (losses, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (losses, aux, new_bs) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        if has_bs:
+            new_state = new_state.replace(batch_stats=new_bs)
         losses = {k: v for k, v in losses.items()}
         losses["total_loss"] = sum(losses.values())
         return new_state, losses, aux

@@ -43,11 +43,18 @@ class SyncBN(nn.Module):
     Under pjit the batch axis is sharded over the whole mesh, so this mean
     IS the cross-device synchronized statistic (strictly more general than
     the reference's single-process SyncBatchNorm barrier,
-    operator_cxx/contrib/sync_batch_norm-inl.h:88-221). No running-average
-    state is kept — stateless under jit; for inference-from-checkpoint use
-    fixbn with folded statistics (utils/graph_optimize.fold_bn_stats).
+    operator_cxx/contrib/sync_batch_norm-inl.h:88-221).
+
+    Running statistics (the reference keeps moving mean/var usable at test,
+    sync_batch_norm-inl.h:55-73) live in the mutable ``batch_stats``
+    collection, EMA-updated whenever that collection is mutable (i.e. inside
+    the train step). At inference — collection present but immutable — the
+    running stats are used, which is what makes batch-1 eval of a
+    syncbn-trained model faithful. With no ``batch_stats`` provided (legacy
+    checkpoints), falls back to on-the-fly batch statistics.
     """
     epsilon: float = 1e-5
+    momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x):
@@ -55,9 +62,28 @@ class SyncBN(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
         xf = x.astype(jnp.float32)
-        axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(xf, axis=axes)
-        var = jnp.mean((xf - mean) ** 2, axis=axes)
+
+        updating = self.is_mutable_collection("batch_stats")
+        has_stats = self.has_variable("batch_stats", "mean")
+        if updating or has_stats:
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((c,), jnp.float32))
+
+        if has_stats and not updating:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean((xf - mean) ** 2, axis=axes)
+            if updating:
+                m = self.momentum
+                ra_mean.value = jax.lax.stop_gradient(
+                    m * ra_mean.value + (1.0 - m) * mean)
+                ra_var.value = jax.lax.stop_gradient(
+                    m * ra_var.value + (1.0 - m) * var)
+
         scale = gamma / jnp.sqrt(var + self.epsilon)
         return (xf * scale + (beta - mean * scale)).astype(x.dtype)
 

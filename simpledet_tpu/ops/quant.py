@@ -39,6 +39,49 @@ def _fq_bwd(num_bits, power2, res, g):
 fake_quant.defvjp(_fq_fwd, _fq_bwd)
 
 
+def quantize_params(params, num_bits=8, power2=False):
+    """Fake-quant every conv/dense kernel leaf — the weight half of the
+    reference's attach_quantize_node rewrite (utils/graph_optimize.py:111-212
+    wraps the weight input of Convolution/FullyConnected/Deconvolution).
+    Gradients flow straight-through to the raw params."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, v in flat.items():
+        if path[-1] == "kernel" and getattr(v, "ndim", 0) >= 2:
+            q = fake_quant(jnp.asarray(v, jnp.float32), num_bits, power2)
+            out[path] = q.astype(v.dtype)
+        else:
+            out[path] = v
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def quantize_apply(apply_fn, num_bits=8, power2=False):
+    """QAT wrapper over a flax apply: fake-quants (a) every conv/dense
+    kernel via quantize_params and (b) every nn.Conv / nn.Dense input via a
+    method interceptor. Together these are the module-tree analog of the
+    reference graph rewrite (utils/graph_optimize.py:111-212, driven by
+    pModel.QuantizeTrainingParam in detection_train.py:145-152)."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        if (isinstance(context.module, (nn.Conv, nn.Dense))
+                and context.method_name == "__call__" and args):
+            x = args[0]
+            xq = fake_quant(jnp.asarray(x, jnp.float32), num_bits, power2)
+            return next_fun(xq.astype(x.dtype), *args[1:], **kwargs)
+        return next_fun(*args, **kwargs)
+
+    def wrapped(variables, *args, **kwargs):
+        variables = dict(variables)
+        variables["params"] = quantize_params(variables["params"],
+                                              num_bits, power2)
+        with nn.intercept_methods(interceptor):
+            return apply_fn(variables, *args, **kwargs)
+
+    return wrapped
+
+
 class QuantConv(nn.Module):
     """Conv with fake-quantized input + weight (QAT)."""
     features: int

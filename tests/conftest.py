@@ -39,6 +39,8 @@ SLOW_TESTS = {
     "test_aux.py::test_auto_resume",
     "test_aux.py::test_rpn_test_cli",
     "test_aux2.py::test_infer_speed_cli",
+    "test_aux2.py::test_int8_micro_config_trains",
+    "test_aux2.py::test_syncbn_micro_train_then_eval",
     "test_cascade.py::test_cascade_train_and_test",
     "test_deform_conv.py::test_dcn_backbone_smoke",
     "test_fcos.py::test_fcos_e2e_train_test",

@@ -67,6 +67,118 @@ def test_fake_quant_straight_through():
     assert np.isfinite(gn) and gn > 0
 
 
+def test_quantize_apply_rewrites_convs_and_dense():
+    """quantize_apply must change the forward (kernels + inputs quantized)
+    while keeping straight-through gradients to the RAW params — the
+    module-tree analog of attach_quantize_node
+    (reference utils/graph_optimize.py:111-212)."""
+    import flax.linen as nn
+    from simpledet_tpu.ops.quant import quantize_apply, quantize_params
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Conv(4, (3, 3))(x))
+            return nn.Dense(2)(x.mean(axis=(1, 2)))
+
+    rng = np.random.RandomState(0)
+    m = Net()
+    x = jnp.asarray(rng.randn(2, 8, 8, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y_plain = m.apply(v, x)
+    qapply = quantize_apply(m.apply)
+    y_q = qapply(v, x)
+    assert y_q.shape == y_plain.shape
+    # quantization must actually perturb the forward
+    assert np.abs(np.asarray(y_q) - np.asarray(y_plain)).max() > 0
+    # kernel leaves are snapped to <=255 levels by quantize_params
+    qp = quantize_params(v["params"])
+    k = np.asarray(qp["Conv_0"]["kernel"])
+    assert len(np.unique(k.ravel())) <= 255
+    np.testing.assert_array_equal(np.asarray(qp["Dense_0"]["bias"]),
+                                  np.asarray(v["params"]["Dense_0"]["bias"]))
+    # straight-through: grads wrt raw params finite and nonzero
+    g = jax.grad(lambda p: jnp.sum(qapply({"params": p}, x) ** 2))(
+        v["params"])
+    gn = sum(float(jnp.sum(jnp.abs(t))) for t in jax.tree.leaves(g))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_syncbn_running_stats():
+    """SyncBN keeps EMA running stats in the batch_stats collection when it
+    is mutable, and USES them (not batch stats) when supplied immutably —
+    the reference's moving mean/var inference path
+    (operator_cxx/contrib/sync_batch_norm-inl.h:55-73)."""
+    from simpledet_tpu.models.norm import SyncBN
+
+    rng = np.random.RandomState(0)
+    m = SyncBN(momentum=0.5)
+    # skewed training batch: mean 5, std 2
+    x_train = jnp.asarray(5 + 2 * rng.randn(8, 4, 4, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x_train)
+    assert "batch_stats" in variables
+    # one mutable (train) application updates the EMA
+    y, mut = m.apply(variables, x_train, mutable=["batch_stats"])
+    bs = mut["batch_stats"]
+    assert np.asarray(bs["mean"]).mean() > 1.0  # moved toward 5
+    # train-mode output is batch-normalized regardless of the EMA
+    np.testing.assert_allclose(float(np.asarray(y).mean()), 0.0, atol=1e-4)
+    # immutable apply with stats: uses the RUNNING stats, so a zero input
+    # maps to (0 - ra_mean)/sqrt(ra_var) != 0
+    x0 = jnp.zeros((1, 4, 4, 3))
+    y0 = m.apply({"params": variables["params"], "batch_stats": bs}, x0)
+    assert abs(float(np.asarray(y0).mean())) > 0.5
+    # without batch_stats: legacy on-the-fly behavior
+    y_legacy = m.apply({"params": variables["params"]}, x_train)
+    np.testing.assert_allclose(float(np.asarray(y_legacy).mean()), 0.0,
+                               atol=1e-4)
+
+
+def test_syncbn_micro_train_then_eval():
+    """syncbn-trained micro model: train saves .batch_stats, eval loads and
+    uses the running statistics (VERDICT #8 done-criterion)."""
+    import os
+    import shutil
+    if not os.path.isdir(os.environ.get("MICRO_DATA_ROOT",
+                                        "/tmp/simpledet_micro")):
+        from tests.fixtures import make_micro_dataset
+        os.makedirs("/tmp/simpledet_micro", exist_ok=True)
+        make_micro_dataset("/tmp/simpledet_micro", n_images=8)
+        os.environ["MICRO_DATA_ROOT"] = "/tmp/simpledet_micro"
+    shutil.rmtree("experiments/syncbn_micro_test", ignore_errors=True)
+    from detection_train import train_net
+    state = train_net("config/syncbn_micro_test.py", max_iter_override=2)
+    assert state.batch_stats, "syncbn model must carry batch_stats"
+    p = "experiments/syncbn_micro_test/checkpoint-0001.batch_stats"
+    assert os.path.exists(p)
+    means = [np.asarray(v) for k, v in
+             __import__("flax").traverse_util.flatten_dict(
+                 state.batch_stats).items() if k[-1] == "mean"]
+    assert any(np.abs(m).max() > 0 for m in means), "EMA never updated"
+    from detection_test import test_net
+    summary = test_net("config/syncbn_micro_test.py", max_images=3)
+    assert summary is not None and np.isfinite(summary["AP"])
+
+
+def test_int8_micro_config_trains():
+    """The int8 micro config takes finite train steps via the real CLI
+    with quantized convs in the graph (reference detection_train.py:145)."""
+    import os
+    import shutil
+    import pytest
+    if not os.path.isdir(os.environ.get("MICRO_DATA_ROOT",
+                                        "/tmp/simpledet_micro")):
+        from tests.fixtures import make_micro_dataset
+        os.makedirs("/tmp/simpledet_micro", exist_ok=True)
+        make_micro_dataset("/tmp/simpledet_micro", n_images=8)
+        os.environ["MICRO_DATA_ROOT"] = "/tmp/simpledet_micro"
+    shutil.rmtree("experiments/int8_micro_test", ignore_errors=True)
+    from detection_train import train_net
+    state = train_net("config/int8_micro_test.py", max_iter_override=2)
+    leaves = [np.asarray(t) for t in jax.tree.leaves(state.params)]
+    assert all(np.isfinite(l).all() for l in leaves)
+
+
 def test_convert_torchvision_resnet_maps_and_folds():
     from utils.convert_pretrain import convert_torchvision_resnet
 
@@ -116,8 +228,10 @@ def test_syncbn_global_batch_stats():
     rng = np.random.RandomState(0)
     x = rng.randn(8, 4, 4, 16).astype(np.float32) * 3 + 1
     mod = SyncBN()
-    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    y = np.asarray(mod.apply(params, jnp.asarray(x)))
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # training-style call (mutable stats) normalizes by the batch statistics
+    y, _ = mod.apply(variables, jnp.asarray(x), mutable=["batch_stats"])
+    y = np.asarray(y)
     mean = x.mean(axis=(0, 1, 2))
     var = x.var(axis=(0, 1, 2))
     ref = (x - mean) / np.sqrt(var + 1e-5)  # fresh gamma=1, beta=0
