@@ -119,12 +119,16 @@ def test_net(config_path, max_images=None):
             if use_flip:
                 yield tf, True
 
+    # batch >1 amortizes dispatch + fills the chip (the reference used
+    # threaded multi-GPU eval; infer harness shows ~2x at batch 4)
+    eval_batch = int(TestParam.batch_image or 4)
+
     raw = {}                             # im_id -> list of (score, boxes)
     detections = []
     t0 = time.time()
     n_done = 0
     for tf, flipped in passes():
-        loader = Loader(roidb, tf, 1, shuffle=False, num_workers=4,
+        loader = Loader(roidb, tf, eval_batch, shuffle=False, num_workers=4,
                         keys=("data", "im_info", "im_id"), pad_last=False,
                         aspect_grouping=True)
         for batch in loader:
@@ -162,23 +166,22 @@ def test_net(config_path, max_images=None):
             scores = np.asarray(scores)
             classes = np.asarray(classes)
             valid = np.asarray(valid)
-            for b in range(len(batch["im_id"])):
-                if not batch["valid"][b]:
-                    continue
-                scale = float(batch["im_info"][b][2])
-                im_id = int(batch["im_id"][b])
-                for j in range(valid.shape[1]):
-                    if not valid[b, j]:
-                        continue
-                    x1, y1, x2, y2 = boxes[b, j] / scale
-                    detections.append({
-                        "image_id": im_id,
-                        "category_id": int(classes[b, j]),
-                        "bbox": [float(x1), float(y1),
-                                 float(x2 - x1 + 1), float(y2 - y1 + 1)],
-                        "score": float(scores[b, j]),
-                    })
-                n_done += 1
+            bvalid = np.asarray(batch["valid"])
+            im_ids = np.asarray(batch["im_id"]).astype(np.int64)
+            scale = np.asarray(batch["im_info"])[:, 2]
+            keep = valid & bvalid[:, None]
+            bi, ji = np.nonzero(keep)
+            bx = boxes[bi, ji] / scale[bi, None]
+            rows = np.concatenate(
+                [bx[:, :2], bx[:, 2:4] - bx[:, :2] + 1], axis=1).tolist()
+            for n in range(len(bi)):
+                detections.append({
+                    "image_id": int(im_ids[bi[n]]),
+                    "category_id": int(classes[bi[n], ji[n]]),
+                    "bbox": rows[n],
+                    "score": float(scores[bi[n], ji[n]]),
+                })
+            n_done += int(bvalid.sum())
 
     if aggregate:
         for im_id, parts in raw.items():

@@ -1,10 +1,16 @@
 """Self-contained COCO detection evaluation (bbox + segm).
 
-Implements the COCOeval protocol (the reference delegates to pycocotools,
-detection_test.py:296-309; that package is not a dependency here): greedy
-score-ordered matching per (image, category) at IoU thresholds .5:.05:.95,
-crowd/ignore handling, 101-point interpolated AP, area ranges and maxDets —
-reporting the standard 12 metrics.
+Implements the pycocotools COCOeval protocol exactly (the reference
+delegates to pycocotools, detection_test.py:296-309; that package is not a
+dependency here): greedy score-ordered matching per (image, category) at
+IoU thresholds .5:.05:.95, crowd re-matching, explicit gt `ignore` flags,
+area-range ignores, 101-point interpolated AP, maxDets slicing — reporting
+the standard 12 metrics. Parity is enforced by a randomized test against a
+literal transcription of the protocol (tests/coco_protocol_oracle.py).
+
+The matcher is vectorized: IoU matrices are one broadcast, and the greedy
+match runs one numpy pass over detections with all 10 IoU thresholds
+handled at once, so a 5k-image eval takes seconds, not minutes.
 
 Detections: list of dicts {image_id, category_id, bbox [x,y,w,h], score,
 (segmentation: binary mask for segm)}. Ground truth: a COCO-style dict or
@@ -27,40 +33,88 @@ MAX_DETS = (1, 10, 100)
 
 def box_iou_xywh(dt, gt, iscrowd):
     """COCO maskUtils.iou semantics for boxes: xywh, no +1; crowd gt uses
-    intersection / det area."""
+    intersection / det area. Vectorized broadcast."""
     dt = np.asarray(dt, np.float64).reshape(-1, 4)
     gt = np.asarray(gt, np.float64).reshape(-1, 4)
-    ious = np.zeros((len(dt), len(gt)))
-    for j, g in enumerate(gt):
-        gx1, gy1, gw, gh = g
-        garea = gw * gh
-        for i, d in enumerate(dt):
-            dx1, dy1, dw, dh = d
-            iw = min(dx1 + dw, gx1 + gw) - max(dx1, gx1)
-            if iw <= 0:
-                continue
-            ih = min(dy1 + dh, gy1 + gh) - max(dy1, gy1)
-            if ih <= 0:
-                continue
-            inter = iw * ih
-            union = dw * dh if iscrowd[j] else dw * dh + garea - inter
-            if union > 0:
-                ious[i, j] = inter / union
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    iw = (np.minimum(dt[:, None, 0] + dt[:, None, 2],
+                     gt[None, :, 0] + gt[None, :, 2])
+          - np.maximum(dt[:, None, 0], gt[None, :, 0]))
+    ih = (np.minimum(dt[:, None, 1] + dt[:, None, 3],
+                     gt[None, :, 1] + gt[None, :, 3])
+          - np.maximum(dt[:, None, 1], gt[None, :, 1]))
+    inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+    darea = (dt[:, 2] * dt[:, 3])[:, None]
+    garea = (gt[:, 2] * gt[:, 3])[None, :]
+    crowd = np.asarray(iscrowd, bool)[None, :]
+    union = np.where(crowd, darea, darea + garea - inter)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ious = np.where(union > 0, inter / union, 0.0)
     return ious
 
 
 def mask_iou(dt_masks, gt_masks, iscrowd):
     ious = np.zeros((len(dt_masks), len(gt_masks)))
-    for j, g in enumerate(gt_masks):
-        g = g.astype(bool)
-        ga = g.sum()
-        for i, d in enumerate(dt_masks):
-            d = d.astype(bool)
-            inter = np.logical_and(d, g).sum()
-            union = d.sum() if iscrowd[j] else d.sum() + ga - inter
-            if union > 0:
-                ious[i, j] = inter / union
-    return ious
+    if not len(dt_masks) or not len(gt_masks):
+        return ious
+    dt = np.asarray([m.astype(bool).ravel() for m in dt_masks])
+    gt = np.asarray([m.astype(bool).ravel() for m in gt_masks])
+    inter = dt.astype(np.float64) @ gt.T.astype(np.float64)
+    darea = dt.sum(-1, dtype=np.float64)[:, None]
+    garea = gt.sum(-1, dtype=np.float64)[None, :]
+    crowd = np.asarray(iscrowd, bool)[None, :]
+    union = np.where(crowd, darea, darea + garea - inter)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
+def _last_argmax(vals):
+    """Row-wise argmax picking the LAST maximum (pycocotools traverses gts
+    in order updating on iou >= best, so equal IoUs go to the later gt)."""
+    g = vals.shape[1]
+    rev_idx = np.argmax(vals[:, ::-1], axis=1)
+    return g - 1 - rev_idx
+
+
+def greedy_match(ious, g_ignore, iscrowd):
+    """Vectorized pycocotools evaluateImg matching over all T thresholds.
+
+    ious: [D, G] for dets in descending-score order and gts sorted
+    ignore-last; g_ignore/iscrowd: [G] in that same order.
+    Returns (dt_match [T,D] bool, dt_ignore [T,D] bool).
+
+    Rules (cocoeval.py evaluateImg): a det matches the highest-IoU eligible
+    gt (eligible = iou >= thr and not already matched unless crowd); ignored
+    gts can only match when NO non-ignored gt is eligible; a det matched to
+    an ignored gt is itself ignored.
+    """
+    D, G = ious.shape
+    T = len(IOU_THRS)
+    dt_match = np.zeros((T, D), bool)
+    dt_ignore = np.zeros((T, D), bool)
+    if G == 0 or D == 0:
+        return dt_match, dt_ignore
+    thr = np.minimum(IOU_THRS, 1 - 1e-10)[:, None]        # [T,1]
+    ign = np.asarray(g_ignore, bool)[None, :]              # [1,G]
+    crowd = np.asarray(iscrowd, bool)[None, :]
+    gt_taken = np.zeros((T, G), bool)
+    rows = np.arange(T)
+    for di in range(D):
+        iou_d = ious[di][None, :]                          # [1,G]
+        elig = (iou_d >= thr) & (~gt_taken | crowd)        # [T,G]
+        v1 = np.where(elig & ~ign, iou_d, -1.0)            # non-ignored tier
+        i1 = _last_argmax(v1)
+        h1 = v1[rows, i1] > -0.5
+        v2 = np.where(elig & ign, iou_d, -1.0)             # ignored tier
+        i2 = _last_argmax(v2)
+        h2 = v2[rows, i2] > -0.5
+        best = np.where(h1, i1, i2)
+        matched = h1 | h2
+        dt_match[:, di] = matched
+        dt_ignore[:, di] = matched & ign[0, best]
+        gt_taken[rows, best] |= matched
+    return dt_match, dt_ignore
 
 
 class COCOEval:
@@ -79,6 +133,7 @@ class COCOEval:
                 "bbox": a["bbox"],
                 "area": area,
                 "iscrowd": a.get("iscrowd", 0),
+                "ignore": int(a.get("ignore", 0)),
                 "segmentation": a.get("segmentation"),
                 "_mask": a.get("_mask"),  # optional precomputed binary mask
             })
@@ -88,105 +143,94 @@ class COCOEval:
         for d in detections:
             dts.setdefault((d["image_id"], d["category_id"]), []).append(d)
 
-        T, K, A, M = len(IOU_THRS), len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
-        # per-(img,cat) match records
+        T, K = len(IOU_THRS), len(self.cat_ids)
+        A, M = len(AREA_RNG), len(MAX_DETS)
+        max_det = max(MAX_DETS)
+        area_items = list(AREA_RNG.items())
+
+        # per-(img,cat): match ONCE per area range at maxDet=100; accumulate
+        # slices columns per maxDet (identical because dets are processed in
+        # score order, later dets never affect earlier matches)
         eval_imgs = {}
-        for k, cat in enumerate(self.cat_ids):
+        for cat in self.cat_ids:
             for img in self.img_ids:
                 gt = self.gts.get((img, cat), [])
                 dt = sorted(dts.get((img, cat), []),
-                            key=lambda x: -x["score"])[:max(MAX_DETS)]
+                            key=lambda x: -x["score"])[:max_det]
                 if not gt and not dt:
                     continue
-                iscrowd = [g["iscrowd"] for g in gt]
+                iscrowd = np.array([int(g["iscrowd"]) for g in gt],
+                                   dtype=np.int64)
                 if self.iou_type == "bbox":
                     ious = box_iou_xywh([d["bbox"] for d in dt],
                                         [g["bbox"] for g in gt], iscrowd)
+                    d_area = np.array([d["bbox"][2] * d["bbox"][3]
+                                       for d in dt])
                 else:
                     ious = mask_iou([d["_mask"] for d in dt],
                                     [g["_mask"] for g in gt], iscrowd)
-                eval_imgs[(img, cat)] = (dt, gt, ious)
+                    d_area = np.array([d["_mask"].astype(bool).sum()
+                                       for d in dt], np.float64)
+                g_area = np.array([g["area"] for g in gt], dtype=np.float64)
+                g_ign0 = np.array([bool(g["iscrowd"]) or bool(g["ignore"])
+                                   for g in gt], dtype=bool)
+                scores = np.array([d["score"] for d in dt],
+                                  dtype=np.float64)
+                per_area = []
+                for aname, rng in area_items:
+                    g_ignore = g_ign0 | (g_area < rng[0]) | (g_area > rng[1])
+                    order = np.argsort(g_ignore, kind="stable")
+                    dtm, dtig = greedy_match(
+                        ious[:, order] if len(gt) else ious,
+                        g_ignore[order], iscrowd[order])
+                    d_out = (d_area < rng[0]) | (d_area > rng[1])
+                    dtig = dtig | (~dtm & d_out[None, :])
+                    per_area.append((dtm, dtig,
+                                     int((~g_ignore).sum())))
+                eval_imgs[(img, cat)] = (scores, per_area)
 
         # accumulate precision/recall
         precision = -np.ones((T, len(REC_THRS), K, A, M))
         recall = -np.ones((T, K, A, M))
         for k, cat in enumerate(self.cat_ids):
-            for a, (aname, rng) in enumerate(AREA_RNG.items()):
-                for m, max_det in enumerate(MAX_DETS):
-                    scores_all, matches_all, n_gt = [], [], 0
-                    for img in self.img_ids:
-                        rec = eval_imgs.get((img, cat))
-                        if rec is None:
-                            continue
-                        dt, gt, ious = rec
-                        dt = dt[:max_det]
-                        g_ignore = np.array(
-                            [bool(g["iscrowd"]) or g["area"] < rng[0]
-                             or g["area"] > rng[1] for g in gt], bool)
-                        n_gt += int((~g_ignore).sum())
-                        # match order: non-ignored gts first
-                        gt_order = np.argsort(g_ignore, kind="stable")
-                        gtm = np.full(len(gt), -1)
-                        dt_match = np.zeros((T, len(dt)), dtype=np.int64)
-                        dt_ignore = np.zeros((T, len(dt)), dtype=bool)
-                        for t, thr in enumerate(IOU_THRS):
-                            gtm[:] = -1
-                            for di, d in enumerate(dt):
-                                best, best_iou = -1, min(thr, 1 - 1e-10)
-                                for gi in gt_order:
-                                    if gtm[gi] >= 0 and not gt[gi]["iscrowd"]:
-                                        continue
-                                    # stop at ignored gts once a real match found
-                                    if best >= 0 and not g_ignore[best] \
-                                            and g_ignore[gi]:
-                                        break
-                                    if ious[di, gi] < best_iou:
-                                        continue
-                                    best_iou = ious[di, gi]
-                                    best = gi
-                                if best >= 0:
-                                    gtm[best] = di
-                                    dt_match[t, di] = 1
-                                    dt_ignore[t, di] = g_ignore[best]
-                        # dets outside the area range and unmatched -> ignore
-                        d_area_out = np.array(
-                            [d["bbox"][2] * d["bbox"][3] < rng[0]
-                             or d["bbox"][2] * d["bbox"][3] > rng[1]
-                             for d in dt], bool)
-                        dt_ignore |= (~dt_match.astype(bool)) & d_area_out[None, :]
-                        scores_all.append([d["score"] for d in dt])
-                        matches_all.append((dt_match, dt_ignore))
-
+            recs = [eval_imgs[(img, cat)] for img in self.img_ids
+                    if (img, cat) in eval_imgs]
+            for a in range(A):
+                for m, maxd in enumerate(MAX_DETS):
+                    n_gt = sum(r[1][a][2] for r in recs)
                     if n_gt == 0:
                         continue
-                    if scores_all:
+                    if recs:
                         scores = np.concatenate(
-                            [np.asarray(s) for s in scores_all])
+                            [r[0][:maxd] for r in recs])
                         order = np.argsort(-scores, kind="mergesort")
                         tps = np.concatenate(
-                            [m[0] for m in matches_all], axis=1)[:, order]
+                            [r[1][a][0][:, :maxd] for r in recs],
+                            axis=1)[:, order]
                         ign = np.concatenate(
-                            [m[1] for m in matches_all], axis=1)[:, order]
+                            [r[1][a][1][:, :maxd] for r in recs],
+                            axis=1)[:, order]
                     else:
-                        tps = np.zeros((T, 0), np.int64)
+                        tps = np.zeros((T, 0), bool)
                         ign = np.zeros((T, 0), bool)
-                    tp = (tps == 1) & ~ign
-                    fp = (tps == 0) & ~ign
+                    tp = tps & ~ign
+                    fp = ~tps & ~ign
                     tp_cum = np.cumsum(tp, axis=1).astype(np.float64)
                     fp_cum = np.cumsum(fp, axis=1).astype(np.float64)
+                    rc_all = tp_cum / n_gt
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        pr_all = tp_cum / (tp_cum + fp_cum + np.spacing(1))
                     for t in range(T):
-                        rc = tp_cum[t] / n_gt
-                        pr = tp_cum[t] / np.maximum(tp_cum[t] + fp_cum[t], 1e-12)
+                        rc, pr = rc_all[t], pr_all[t]
                         recall[t, k, a, m] = rc[-1] if len(rc) else 0.0
-                        # precision envelope (monotone decreasing)
-                        pr = pr.tolist()
-                        for i in range(len(pr) - 1, 0, -1):
-                            pr[i - 1] = max(pr[i - 1], pr[i])
+                        # precision envelope (monotone decreasing),
+                        # vectorized reversed running max
+                        env = np.maximum.accumulate(pr[::-1])[::-1] \
+                            if len(pr) else pr
                         inds = np.searchsorted(rc, REC_THRS, side="left")
                         q = np.zeros(len(REC_THRS))
-                        for ri, pi in enumerate(inds):
-                            if pi < len(pr):
-                                q[ri] = pr[pi]
+                        ok = inds < len(env)
+                        q[ok] = env[inds[ok]]
                         precision[t, :, k, a, m] = q
 
         self.precision = precision

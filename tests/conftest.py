@@ -42,6 +42,7 @@ SLOW_TESTS = {
     "test_aux2.py::test_int8_micro_config_trains",
     "test_aux2.py::test_syncbn_micro_train_then_eval",
     "test_cascade.py::test_cascade_train_and_test",
+    "test_coco_eval_parity.py::test_cocoeval_5k_images_fast",
     "test_deform_conv.py::test_dcn_backbone_smoke",
     "test_fcos.py::test_fcos_e2e_train_test",
     "test_freeanchor_crowd.py::test_crowdhuman_e2e_tiny",
