@@ -203,7 +203,15 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
                               remat=bool(ModelParam.memonger),
                               quantize=quantize)
     metrics = CompositeMetric(metric_list)
-    speedo = Speedometer(global_batch, General.log_frequency or 10, logger)
+    # General.detail_log switches to the data/compute-split speedometer
+    # (reference utils/callback.py:40 DetailSpeedometer)
+    if General.detail_log:
+        from simpledet_tpu.utils.logger import DetailSpeedometer
+        speedo = DetailSpeedometer(global_batch, General.log_frequency or 10,
+                                   logger)
+    else:
+        speedo = Speedometer(global_batch, General.log_frequency or 10,
+                             logger)
     # optional aux subsystems: profiler window (reference MXNet profiler on
     # batches 1-10, detection_train.py:274-276 / detection_module.py:998),
     # scalar summaries (mxboard analog), iter-granular checkpoints
@@ -232,9 +240,18 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
         metrics.update(aux_host)
         pending = None
 
+    detail = bool(General.detail_log)
     for epoch in range(begin_epoch, end_epoch):
         logger.info(f"starting epoch {epoch}")
-        for batch in loader:
+        it = iter(loader)
+        while True:
+            if detail:
+                speedo.tic_data()
+            batch = next(it, None)
+            if batch is None:
+                break
+            if detail:
+                speedo.toc_data()
             if profile and steps_this_run == 1:
                 jax.profiler.start_trace(os.path.join(exp_dir, "profile"))
             batch.pop("valid", None)
@@ -251,6 +268,8 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
                 logger.info(f"profiler trace written to {exp_dir}/profile")
             drain_pending()
             pending = (losses, aux)
+            if detail:
+                speedo.toc_step()
             if n_iter % (General.log_frequency or 10) == 0:
                 drain_pending()
                 if writer:

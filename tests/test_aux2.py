@@ -273,3 +273,31 @@ def test_visualize_batch(tmp_path):
         np.asarray([[10, 10, 50, 40]]), np.asarray([0.9]), np.asarray([1]),
         str(tmp_path / "det.png"))
     assert os.path.exists(out)
+
+
+def test_detail_speedometer(capsys):
+    """DetailSpeedometer splits data/compute wall time per reporting window
+    (reference utils/callback.py:40-87 DetailSpeedometer)."""
+    import logging
+
+    from simpledet_tpu.utils.logger import DetailSpeedometer
+
+    logger = logging.getLogger("detail_speedo_test")
+    logger.setLevel(logging.INFO)
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger.addHandler(Capture())
+    s = DetailSpeedometer(batch_size=2, frequency=2, logger=logger)
+    s(0, 0)  # primes the clock
+    for i in range(1, 5):
+        s.tic_data()
+        s.toc_data()
+        s.toc_step()
+        s(0, i)
+    assert any("data:" in m and "compute:" in m for m in records)
+    # the window accumulators reset after each report
+    assert s.data_time == 0.0 and s.step_time == 0.0
