@@ -1,0 +1,7 @@
+"""faster_r50v1c4_c5_512roi_1x_fp16 (reference config/faster_r50v1c4_c5_512roi_1x_fp16.py): generated from the shared
+trident/C4 template — see simpledet_tpu/config_templates.py."""
+from simpledet_tpu.config_templates import trident_c4_config
+
+
+def get_config(is_train):
+    return trident_c4_config(is_train, __name__, depth=50, resnet_variant="v1", num_branch=1, scaleaware=False, image_roi=512, batch_image=2, fp16=True)

@@ -1,0 +1,7 @@
+"""tridentnet_r101v2c4_c5_fastapprox_1x (reference config/tridentnet_r101v2c4_c5_fastapprox_1x.py): generated from the shared
+trident/C4 template — see simpledet_tpu/config_templates.py."""
+from simpledet_tpu.config_templates import trident_c4_config
+
+
+def get_config(is_train):
+    return trident_c4_config(is_train, __name__, depth=101, resnet_variant="v2", fast=True)

@@ -5,6 +5,7 @@ from simpledet_tpu.dsl import (  # noqa: F401
     MSRAResNet101V1FPN,
     ResNet50V1bFPN,
     ResNet101V1bFPN,
+    ResNet152V1bFPN,
     ResNet50V1dFPN,
     FPNNeck,
     FPNRpnHead,

@@ -3,6 +3,8 @@
 from simpledet_tpu.dsl import (  # noqa: F401
     TridentFasterRcnn,
     TridentMXNetResNetV2,
+    TridentResNetV1C4,
+    TridentResNetV1bC4,
     TridentResNetV2C4,
     TridentRpnHead,
     BboxC5Head,

@@ -483,12 +483,38 @@ class TridentMXNetResNetV2:
         self.p = p
         trident = p.trident or p
         self.num_branch = (trident and trident.num_branch) or 3
+        dilations = tuple((trident and trident.branch_dilates) or (1, 2, 3))
         self.module = TridentResNetV2C4(
             depth=p.depth or 50, norm=_norm(p), dtype=_dtype(p),
-            num_branch=self.num_branch, name="backbone")
+            num_branch=self.num_branch, dilations=dilations, name="backbone")
 
 
 TridentResNetV2C4 = TridentMXNetResNetV2
+
+
+class TridentResNetV1C4:
+    """Trident ResNet-v1 C4 backbone wrapper (reference
+    models/tridentnet/builder_v2.py TridentResNetV1C4)."""
+    variant = "v1"
+
+    def __init__(self, pBackbone):
+        from simpledet_tpu.models.tridentnet import \
+            TridentResNetV1C4 as Module
+        p = patch_config_as_nothrow(pBackbone)
+        self.p = p
+        trident = p.trident or p
+        self.num_branch = (trident and trident.num_branch) or 3
+        dilations = tuple((trident and trident.branch_dilates) or (1, 2, 3))
+        self.module = Module(
+            depth=p.depth or 50, variant=self.variant, norm=_norm(p),
+            dtype=_dtype(p), num_branch=self.num_branch, dilations=dilations,
+            name="backbone")
+
+
+class TridentResNetV1bC4(TridentResNetV1C4):
+    """Trident ResNet-v1b C4 (stride on the 3x3; reference builder_v2.py
+    TridentResNetV1bC4)."""
+    variant = "v1b"
 
 
 class TridentRpnHead(FPNRpnHead):
@@ -513,7 +539,23 @@ class BboxC5Head:
             name="bbox_head")
 
 
-BboxC5V1Head = BboxC5Head
+class BboxC5V1Head:
+    """ResNet-v1/v1b stage-5 bbox head (reference symbol/builder.py:614);
+    p.variant selects stride placement ("v1" default, "v1b")."""
+
+    def __init__(self, pBbox):
+        from simpledet_tpu.models.tridentnet import \
+            BboxC5V1Head as Module
+        p = patch_config_as_nothrow(pBbox)
+        self.p = p
+        num_reg = 2 if (p.regress_target.class_agnostic or False) \
+            else p.num_class
+        self.module = Module(
+            num_class=p.num_class, num_reg_class=num_reg,
+            depth=p.depth or 50, variant=p.variant or "v1", norm=_norm(p),
+            dtype=_dtype(p), name="bbox_head")
+
+
 BboxResNeXtC5Head = BboxC5Head
 
 

@@ -91,3 +91,22 @@ class DCNBottleneck(nn.Module):
                                name="sc_conv")(residual)
             residual = self.norm(name="sc_bn")(residual)
         return nn.relu(y + residual)
+
+
+class DCNv2Bottleneck(DCNBottleneck):
+    """Modulated deformable bottleneck (DCNv2, reference
+    models/dcn/builder.py dcn_resnet_unit with modulated=True)."""
+    modulated: bool = True
+
+
+class C4StrideKeyAdapter(nn.Module):
+    """Expose a C4 backbone's top feature under the 'stride16' key so the
+    single-level C4 detector assembly (models/tridentnet.py TridentFasterRcnn
+    _extract / single-stride RPN head) can consume hybrid ResNet backbones."""
+    inner: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        feats = dict(self.inner(x))
+        feats["stride16"] = feats["c4"]
+        return feats

@@ -116,9 +116,11 @@ class NASFPNNeck(nn.Module):
 
 
 class TopDownBottomUpFPNNeck(nn.Module):
-    """PANet-style: FPN top-down then a bottom-up pathway (reference
-    TopDownBottomUpFPNNeck, models/NASFPN/builder.py:166+). P3-P7."""
+    """PANet-style: FPN top-down then a bottom-up pathway, optionally
+    stacked num_stage times (reference TopDownBottomUpFPNNeck,
+    models/NASFPN/builder.py:166+; the tdbu_640_3@384 config stacks 3)."""
     filters: int = 256
+    num_stage: int = 1
     norm: Callable = None
     dtype: Any = jnp.float32
 
@@ -134,20 +136,26 @@ class TopDownBottomUpFPNNeck(nn.Module):
                                 kernel_init=xavier_avg_uniform,
                                 dtype=self.dtype,
                                 name=f"{name}_lateral")(c)
-        # top-down
-        td = {"P7": lat["P7"]}
-        for hi, lo in (("P7", "P6"), ("P6", "P5"), ("P5", "P4"),
-                       ("P4", "P3")):
-            td[lo] = ReluConvBN(self.filters, norm=self.norm,
-                                dtype=self.dtype, name=f"td_{lo}")(
-                lat[lo] + upsample_to(td[hi], lat[lo]))
-        # bottom-up
-        bu = {"P3": td["P3"]}
-        for lo, hi in (("P3", "P4"), ("P4", "P5"), ("P5", "P6"),
-                       ("P6", "P7")):
-            bu[hi] = ReluConvBN(self.filters, norm=self.norm,
-                                dtype=self.dtype, name=f"bu_{hi}")(
-                td[hi] + pool_to(bu[lo], td[hi]))
-        return {"stride8": bu["P3"], "stride16": bu["P4"],
-                "stride32": bu["P5"], "stride64": bu["P6"],
-                "stride128": bu["P7"]}
+        cur = lat
+        for stage in range(self.num_stage):
+            sfx = "" if stage == 0 else f"_s{stage + 1}"
+            # top-down
+            td = {"P7": cur["P7"]}
+            for hi, lo in (("P7", "P6"), ("P6", "P5"), ("P5", "P4"),
+                           ("P4", "P3")):
+                td[lo] = ReluConvBN(self.filters, norm=self.norm,
+                                    dtype=self.dtype,
+                                    name=f"td_{lo}{sfx}")(
+                    cur[lo] + upsample_to(td[hi], cur[lo]))
+            # bottom-up
+            bu = {"P3": td["P3"]}
+            for lo, hi in (("P3", "P4"), ("P4", "P5"), ("P5", "P6"),
+                           ("P6", "P7")):
+                bu[hi] = ReluConvBN(self.filters, norm=self.norm,
+                                    dtype=self.dtype,
+                                    name=f"bu_{hi}{sfx}")(
+                    td[hi] + pool_to(bu[lo], td[hi]))
+            cur = bu
+        return {"stride8": cur["P3"], "stride16": cur["P4"],
+                "stride32": cur["P5"], "stride64": cur["P6"],
+                "stride128": cur["P7"]}

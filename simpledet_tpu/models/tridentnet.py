@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from simpledet_tpu.kernels.roi_align import batched_multilevel_roi_align
 from simpledet_tpu.models.heads import bbox_head_loss, bbox_head_predict
-from simpledet_tpu.models.resnet import RESNET_UNITS, BottleneckV2
+from simpledet_tpu.models.resnet import (RESNET_UNITS, Bottleneck,
+                                         BottleneckV2)
 from simpledet_tpu.ops.bbox import bbox_overlaps
 from simpledet_tpu.targets.proposal_target import proposal_target
 
@@ -113,6 +114,125 @@ class TridentResNetV2C4(nn.Module):
         out = jnp.concatenate(branches, axis=0)       # [nb*B, H, W, C]
         out = nn.relu(self.norm(name="stage3_bn")(out))
         return {"c4": out, "stride16": out}
+
+
+class TridentBottleneckV1(nn.Module):
+    """Post-activation bottleneck (v1/v1b) whose 3x3 kernel is shared across
+    calls with different dilations (reference models/tridentnet/builder_v2.py
+    TridentResNetV1C4/V1bC4 conv_shared units). v1 puts the stride on conv1,
+    v1b on the 3x3."""
+    filters: int
+    stride: int
+    norm: Callable
+    variant: str = "v1"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, dilation=1):
+        d = dilation
+        s1 = self.stride if self.variant == "v1" else 1
+        s3 = 1 if self.variant == "v1" else self.stride
+        residual = x
+        y = nn.Conv(self.filters, (1, 1), strides=(s1, s1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(self.norm(name="bn1")(y))
+        kernel = self.param(
+            "conv2_kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out",
+                                             "truncated_normal"),
+            (3, 3, self.filters, self.filters), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            y.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(s3, s3),
+            padding=((d, d), (d, d)), rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.relu(self.norm(name="bn2")(y))
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if residual.shape[-1] != self.filters * 4 or self.stride != 1:
+            residual = nn.Conv(self.filters * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="sc_conv")(x)
+            residual = self.norm(name="sc_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class TridentResNetV1C4(nn.Module):
+    """Shared c1-c3 (post-act v1/v1b), trident c4 with per-branch dilation;
+    returns {"c4": [nb*B, H, W, 1024]}. Reference
+    models/tridentnet/builder_v2.py TridentResNetV1C4 / TridentResNetV1bC4."""
+    depth: int = 50
+    variant: str = "v1"            # v1 | v1b
+    norm: Callable = None
+    dtype: Any = jnp.float32
+    num_branch: int = 3
+    dilations: Sequence[int] = (1, 2, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        units = RESNET_UNITS[self.depth]
+        norm = self.norm
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv0")(x)
+        x = nn.relu(norm(name="bn0")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        filters = (64, 128, 256)
+        for stage in range(2):
+            for unit in range(units[stage]):
+                x = Bottleneck(filters=filters[stage],
+                               stride=1 if stage == 0 or unit > 0 else 2,
+                               norm=norm, variant=self.variant,
+                               dtype=self.dtype,
+                               name=f"stage{stage + 1}_unit{unit + 1}")(x)
+
+        trident_units = [
+            TridentBottleneckV1(filters=filters[2], stride=2 if u == 0 else 1,
+                                norm=norm, variant=self.variant,
+                                dtype=self.dtype, name=f"stage3_unit{u + 1}")
+            for u in range(units[2])
+        ]
+        branches = []
+        for i in range(self.num_branch):
+            b = x
+            for unit_mod in trident_units:
+                b = unit_mod(b, dilation=self.dilations[i])
+            branches.append(b)
+        out = jnp.concatenate(branches, axis=0)
+        return {"c4": out, "stride16": out}
+
+
+class BboxC5V1Head(nn.Module):
+    """ResNet-v1/v1b stage-5 as the bbox head (reference
+    symbol/builder.py:614 BboxC5V1Head): roi feats -> post-act stage5
+    (stride 2) -> global avg pool -> cls/reg fc."""
+    num_class: int
+    num_reg_class: int
+    depth: int = 50
+    variant: str = "v1"
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat):
+        b, r, p, _, c = roi_feat.shape
+        x = roi_feat.reshape(b * r, p, p, c).astype(self.dtype)
+        n_unit = RESNET_UNITS[self.depth][3]
+        for u in range(n_unit):
+            x = Bottleneck(filters=512, stride=2 if u == 0 else 1,
+                           norm=self.norm, variant=self.variant,
+                           dtype=self.dtype, name=f"stage4_unit{u + 1}")(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        cls_logit = nn.Dense(self.num_class,
+                             kernel_init=nn.initializers.normal(0.01),
+                             name="cls_logit")(x).reshape(b, r, -1)
+        bbox_delta = nn.Dense(4 * self.num_reg_class,
+                              kernel_init=nn.initializers.normal(0.001),
+                              name="bbox_delta")(x).reshape(b, r, -1)
+        return cls_logit, bbox_delta
 
 
 class BboxC5V2Head(nn.Module):

@@ -1,5 +1,8 @@
 """bf16-vs-fp32 flagship throughput probe on the real chip; optional
 jax.profiler trace of the winner (--profile <dir>). One JSON line each."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

@@ -1,5 +1,8 @@
 """Component-level timings of the detection machinery at flagship shapes.
 Prints one JSON line per component (ms per call, batch-2 equivalents)."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 

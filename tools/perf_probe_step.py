@@ -1,6 +1,9 @@
 """Perf ablation on the real chip: time the train step in pieces to find
 the bottleneck. Prints one JSON line per ablation. Not part of the bench
 contract (bench.py stays the single-line driver hook)."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 
