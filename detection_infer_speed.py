@@ -18,6 +18,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from simpledet_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from simpledet_tpu.core.config import load_config

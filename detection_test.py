@@ -15,6 +15,8 @@ import numpy as np
 
 def test_net(config_path, max_images=None):
     import jax
+    from simpledet_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from simpledet_tpu.core.checkpoint import (get_latest_ckpt_epoch,

@@ -31,6 +31,9 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
 
     from simpledet_tpu.core.config import patch_all
 
+    from simpledet_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     # multi-host: one mechanism replaces the reference's kvstore/PS stack
     # (doc/DISTRIBUTED.md) — initialize the global mesh when on a pod slice
     if os.environ.get("SIMPLEDET_DISTRIBUTED"):

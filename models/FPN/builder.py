@@ -11,6 +11,7 @@ from simpledet_tpu.dsl import (  # noqa: F401
     FPNRpnHead,
     FPNRoiAlign,
     FPNBbox2fcHead,
+    FPNBboxDualHeadSmall,
 )
 from simpledet_tpu.dsl import (  # noqa: F401,E402
     Bbox1conv2fcHead,

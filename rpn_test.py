@@ -24,6 +24,8 @@ def recall_at(gt, proposals, iou_thr):
 
 def rpn_test_net(config_path, max_images=None):
     import jax
+    from simpledet_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from simpledet_tpu.core.checkpoint import (get_latest_ckpt_epoch,

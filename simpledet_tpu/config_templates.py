@@ -1183,3 +1183,237 @@ def reppoints_config(is_train, name, *, depth=50, variant="v1",
     return (General, KvstoreParam, RpnParam, RoiParam, BboxParam,
             DatasetParam, ModelParam, OptimizeParam, TestParam,
             transform, data_name, label_name, metric_list)
+
+
+def cascade_c5_red_config(is_train, name, *, depth=50, schedule_mult=1):
+    """Cascade R-CNN on the single-level dilated-C5 backbone with a reduce
+    neck (reference config/cascade_r50v2_c5_red_1x.py /
+    cascade_r101v2_c5_red_1x.py): 0.5/0.6/0.7 IoU ladder, tightening stds,
+    1.0/0.5/0.25 loss weights, 256 rois, class-agnostic regression."""
+    from mxnext.complicate import normalizer_factory
+
+    class General:
+        log_frequency = 10
+        loader_worker = 8
+
+    General.name = name.rsplit("/")[-1].rsplit(".")[-1]
+    General.fp16 = False
+    General.batch_image = 2 if is_train else 1
+
+    class KvstoreParam:
+        kvstore = "mesh"
+        gpus = list(range(8))
+
+    KvstoreParam.batch_image = General.batch_image
+    KvstoreParam.fp16 = General.fp16
+
+    class NormalizeParam:
+        normalizer = normalizer_factory(type="fixbn")
+
+    class BackboneParam:
+        pass
+
+    BackboneParam.fp16 = General.fp16
+    BackboneParam.normalizer = NormalizeParam.normalizer
+    BackboneParam.depth = depth
+
+    class NeckParam:
+        class reduce:
+            channel = 1024
+
+    NeckParam.fp16 = General.fp16
+    NeckParam.normalizer = NormalizeParam.normalizer
+
+    class RpnParam:
+        class anchor_generate:
+            scale = (2, 4, 8, 16, 32)
+            ratio = (0.5, 1.0, 2.0)
+            stride = (16,)
+            image_anchor = 256
+
+        class anchor_assign:
+            allowed_border = 0
+            pos_thr = 0.7
+            neg_thr = 0.3
+            min_pos_thr = 0.0
+            image_anchor = 256
+            pos_fraction = 0.5
+
+        class head:
+            conv_channel = 512
+            mean = (0, 0, 0, 0)
+            std = (1, 1, 1, 1)
+
+        class proposal:
+            pre_nms_top_n = 12000 if is_train else 6000
+            post_nms_top_n = 2000 if is_train else 1000
+            nms_thr = 0.7
+            min_bbox_side = 0
+
+        class subsample_proposal:
+            proposal_wo_gt = False
+            image_roi = 256
+            fg_fraction = 0.25
+            fg_thr = 0.5
+            bg_thr_hi = 0.5
+            bg_thr_lo = 0.0
+
+        class bbox_target:
+            num_reg_class = 2
+            class_agnostic = True
+            weight = (1.0, 1.0, 1.0, 1.0)
+            mean = (0.0, 0.0, 0.0, 0.0)
+            std = (0.1, 0.1, 0.2, 0.2)
+
+    RpnParam.fp16 = General.fp16
+    RpnParam.normalizer = NormalizeParam.normalizer
+    RpnParam.batch_image = General.batch_image
+
+    def _stage_param(stage, loss_weight, fg_thr, reg_std, next_std):
+        class Bbox:
+            class regress_target:
+                class_agnostic = True
+                mean = (0.0, 0.0, 0.0, 0.0)
+
+            class subsample_proposal:
+                proposal_wo_gt = False
+                image_roi = 256
+                fg_fraction = 0.25
+                bg_thr_lo = 0.0
+
+            class bbox_target:
+                num_reg_class = 2
+                class_agnostic = True
+                weight = (1.0, 1.0, 1.0, 1.0)
+                mean = (0.0, 0.0, 0.0, 0.0)
+
+        Bbox.fp16 = General.fp16
+        Bbox.normalizer = NormalizeParam.normalizer
+        Bbox.num_class = 1 + 80
+        Bbox.image_roi = 256
+        Bbox.batch_image = General.batch_image
+        Bbox.stage = stage
+        Bbox.loss_weight = loss_weight
+        Bbox.regress_target.std = reg_std
+        Bbox.subsample_proposal.fg_thr = fg_thr
+        Bbox.subsample_proposal.bg_thr_hi = fg_thr
+        Bbox.bbox_target.std = next_std
+        return Bbox
+
+    BboxParam = _stage_param("1st", 1.0, 0.6, (0.1, 0.1, 0.2, 0.2),
+                             (0.05, 0.05, 0.1, 0.1))
+    BboxParam2nd = _stage_param("2nd", 0.5, 0.7, (0.05, 0.05, 0.1, 0.1),
+                                (0.033, 0.033, 0.067, 0.067))
+    BboxParam3rd = _stage_param("3rd", 0.25, 0.7,
+                                (0.033, 0.033, 0.067, 0.067),
+                                (0.033, 0.033, 0.067, 0.067))
+
+    class RoiParam:
+        out_size = 7
+        stride = (16,)
+
+    RoiParam.fp16 = General.fp16
+    RoiParam.normalizer = NormalizeParam.normalizer
+
+    class DatasetParam:
+        if is_train:
+            image_set = ("coco_train2017",)
+        else:
+            image_set = ("coco_val2017",)
+
+    from models.cascade_rcnn.builder import (CascadeBbox2fcHead, CascadeRcnn,
+                                             FPNRpnHead)
+    from symbol.builder import (MXNetResNet50V2C4C5, MXNetResNet101V2C4C5,
+                                ReduceNeck)
+    from symbol.builder import RoiAlign as RoiExtractor
+
+    backbone_cls = {50: MXNetResNet50V2C4C5,
+                    101: MXNetResNet101V2C4C5}[depth]
+    backbone = backbone_cls(BackboneParam)
+    neck = ReduceNeck(NeckParam)
+    rpn_head = FPNRpnHead(RpnParam)
+    roi_extractor = RoiExtractor(RoiParam)
+    bbox_head = CascadeBbox2fcHead(BboxParam)
+    bbox_head_2nd = CascadeBbox2fcHead(BboxParam2nd)
+    bbox_head_3rd = CascadeBbox2fcHead(BboxParam3rd)
+    detector = CascadeRcnn()
+    if is_train:
+        train_sym = detector.get_train_symbol(
+            backbone, neck, rpn_head, roi_extractor, bbox_head,
+            bbox_head_2nd, bbox_head_3rd)
+        test_sym = None
+    else:
+        train_sym = None
+        test_sym = detector.get_test_symbol(
+            backbone, neck, rpn_head, roi_extractor, bbox_head,
+            bbox_head_2nd, bbox_head_3rd)
+
+    class ModelParam:
+        train_symbol = train_sym
+        test_symbol = test_sym
+        rpn_test_symbol = None
+        from_scratch = False
+        random = True
+        memonger = False
+
+        class pretrain:
+            epoch = 0
+            fixed_param = ["conv0", "stage1", "scale", "bias"]
+
+    ModelParam.pretrain.prefix = f"pretrain_model/resnet-v2-{depth}"
+
+    n_dev_img = len(KvstoreParam.gpus) * KvstoreParam.batch_image
+
+    class OptimizeParam:
+        class optimizer:
+            type = "sgd"
+            momentum = 0.9
+            wd = 0.0001
+            clip_gradient = None
+
+        class schedule:
+            begin_epoch = 0
+
+        class warmup:
+            type = "gradual"
+            iter = 500
+
+    OptimizeParam.optimizer.lr = 0.01 / 8 * n_dev_img
+    OptimizeParam.warmup.lr = 0.01 / 8 * n_dev_img / 3.0
+    OptimizeParam.schedule.end_epoch = 6 * schedule_mult
+    OptimizeParam.schedule.lr_iter = [
+        60000 * 16 * schedule_mult // n_dev_img,
+        80000 * 16 * schedule_mult // n_dev_img]
+    OptimizeParam.schedule.iter_per_epoch = 90000 * 16 // n_dev_img // 6
+
+    class TestParam:
+        min_det_score = 0.05
+        max_det_per_image = 100
+        process_roidb = lambda x: x          # noqa: E731
+        process_output = lambda x, y: x      # noqa: E731
+
+        class model:
+            pass
+
+        class nms:
+            type = "nms"
+            thr = 0.5
+
+        class coco:
+            annotation = "data/coco/annotations/instances_val2017.json"
+
+    TestParam.model.prefix = f"experiments/{General.name}/checkpoint"
+    TestParam.model.epoch = 6 * schedule_mult
+
+    transform, data_name, label_name = standard_transforms(is_train)
+    import core.detection_metric as metric
+    metric_list = [
+        metric.AccWithIgnore("RpnAcc", ["rpn_cls_logit", "rpn_label"], []),
+        metric.AccWithIgnore("RcnnAcc1st",
+                             ["bbox_cls_logit_1st", "bbox_label_1st"], []),
+        metric.AccWithIgnore("RcnnAcc3rd",
+                             ["bbox_cls_logit_3rd", "bbox_label_3rd"], []),
+    ]
+    return (General, KvstoreParam, RpnParam, RoiParam, BboxParam,
+            DatasetParam, ModelParam, OptimizeParam, TestParam,
+            transform, data_name, label_name, metric_list)

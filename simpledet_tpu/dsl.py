@@ -133,6 +133,47 @@ class Neck:
         self.module = fpn_mod.Neck(name="neck")
 
 
+class ReduceNeck:
+    """Channel-reduce neck wrapper (reference symbol/builder.py:833)."""
+
+    def __init__(self, pNeck):
+        p = patch_config_as_nothrow(pNeck)
+        self.p = p
+        norm = None
+        if p.normalizer is not None and \
+                getattr(p.normalizer, "type", "") in ("syncbn", "gn"):
+            norm = _norm(p)
+        self.module = fpn_mod.ReduceNeck(
+            filters=(p.reduce.channel if p.reduce else None) or 256,
+            norm=norm, dtype=_dtype(p), name="neck")
+
+
+class _C4C5Base:
+    """Full v2 ResNet with dilated stage4 (stride-16 c5) published as the
+    single-level 'stride16' feature (reference mxnext resnet C4C5 forms,
+    symbol/builder.py MXNetResNet50V2C4C5)."""
+    depth = 50
+    variant = "v2"
+
+    def __init__(self, pBackbone):
+        from simpledet_tpu.models.dcn import C4StrideKeyAdapter
+        p = patch_config_as_nothrow(pBackbone)
+        self.p = p
+        inner = resnet_mod.ResNet(
+            depth=p.depth or self.depth, variant=self.variant, norm=_norm(p),
+            dtype=_dtype(p), num_stages=4, stage4_dilation=2,
+            name="backbone")
+        self.module = C4StrideKeyAdapter(inner=inner, key="c5")
+
+
+class MXNetResNet50V2C4C5(_C4C5Base):
+    depth = 50
+
+
+class MXNetResNet101V2C4C5(_C4C5Base):
+    depth = 101
+
+
 class FPNRpnHead:
     def __init__(self, pRpn):
         p = patch_config_as_nothrow(pRpn)
@@ -161,6 +202,25 @@ class FPNBbox2fcHead:
 
 
 Bbox2fcHead = FPNBbox2fcHead
+
+
+class FPNBboxDualHeadSmall:
+    """Double-Head bbox head wrapper (reference models/FPN/builder.py:11)."""
+
+    def __init__(self, pBbox):
+        from simpledet_tpu.models import heads as heads_mod
+        p = patch_config_as_nothrow(pBbox)
+        self.p = p
+        num_reg = 2 if (p.regress_target.class_agnostic or False) \
+            else p.num_class
+        norm = None
+        if p.normalizer is not None and \
+                getattr(p.normalizer, "type", "") in ("syncbn", "gn"):
+            norm = _norm(p)
+        self.module = heads_mod.BboxDualHeadSmall(
+            num_class=p.num_class, num_reg_class=num_reg,
+            num_block=p.num_block or 4, norm=norm, dtype=_dtype(p),
+            name="bbox_head")
 
 
 class Bbox1conv2fcHead:

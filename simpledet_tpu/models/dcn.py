@@ -100,13 +100,14 @@ class DCNv2Bottleneck(DCNBottleneck):
 
 
 class C4StrideKeyAdapter(nn.Module):
-    """Expose a C4 backbone's top feature under the 'stride16' key so the
-    single-level C4 detector assembly (models/tridentnet.py TridentFasterRcnn
-    _extract / single-stride RPN head) can consume hybrid ResNet backbones."""
+    """Expose a C4/C5 backbone's top feature under the 'stride16' key so the
+    single-level detector assembly (models/tridentnet.py TridentFasterRcnn
+    _extract / single-stride RPN head) can consume plain ResNet backbones."""
     inner: nn.Module
+    key: str = "c4"
 
     @nn.compact
     def __call__(self, x):
         feats = dict(self.inner(x))
-        feats["stride16"] = feats["c4"]
+        feats["stride16"] = feats[self.key]
         return feats

@@ -75,18 +75,26 @@ class Neck(nn.Module):
 
 
 class ReduceNeck(nn.Module):
-    """Channel-reduce conv neck (symbol/builder.py:833-861)."""
+    """Channel-reduce conv neck (symbol/builder.py:833-861). Reduces the
+    top single-level feature and re-publishes it under every key it was
+    found at (stride16/c5/c4), so single-level RPN + RoI paths both read
+    the reduced map. Deviation from the reference, which reduces only the
+    rcnn path: one shared pyramid keeps the assembly single-featured."""
     filters: int = 256
     norm: Callable = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
-        c = feats["c4"] if "c4" in feats else feats
+        key = next(k for k in ("stride16", "c5", "c4") if k in feats)
         y = nn.Conv(self.filters, (3, 3), use_bias=True,
                     kernel_init=nn.initializers.normal(0.01),
-                    dtype=self.dtype, name="reduce_conv")(c)
+                    dtype=self.dtype, name="reduce_conv")(feats[key])
         if self.norm is not None:
             y = self.norm(name="reduce_norm")(y)
         y = nn.relu(y)
-        return dict(feats, c4=y)
+        out = dict(feats)
+        for k in ("stride16", "c5", "c4"):
+            if k in out:
+                out[k] = y
+        return out

@@ -145,3 +145,45 @@ def bbox_head_predict(cls_logit, bbox_delta, rois, im_info, *,
         # broadcast the single fg box to all classes downstream
         boxes = jnp.tile(boxes[..., 4:8], (1, 1, num_class))
     return score, boxes
+
+
+class BboxDualHeadSmall(nn.Module):
+    """Double-Head-style bbox head (reference models/FPN/builder.py:11
+    FPNBboxDualHeadSmall): fc branch (2x1024) for classification, conv
+    branch (num_block x 3x3/256) for regression."""
+    num_class: int
+    num_reg_class: int
+    num_block: int = 4
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat):
+        b, r, p, _, c = roi_feat.shape
+        x = roi_feat.astype(self.dtype)
+        # classification: flatten -> 2 fc
+        cls = x.reshape(b, r, -1)
+        for i in (1, 2):
+            cls = nn.Dense(1024, kernel_init=xavier_in_uniform,
+                           dtype=self.dtype, name=f"cls_fc{i}")(cls)
+            if self.norm is not None:
+                cls = self.norm(name=f"cls_fc{i}_norm")(cls)
+            cls = nn.relu(cls)
+        cls = cls.astype(jnp.float32)
+        cls_logit = nn.Dense(self.num_class,
+                             kernel_init=nn.initializers.normal(0.01),
+                             name="cls_logit")(cls)
+        # regression: conv tower on the spatial roi feature
+        reg = x.reshape(b * r, p, p, c)
+        for i in range(self.num_block):
+            reg = nn.Conv(256, (3, 3), use_bias=True,
+                          kernel_init=nn.initializers.normal(0.01),
+                          dtype=self.dtype, name=f"reg_block{i + 1}")(reg)
+            if self.norm is not None:
+                reg = self.norm(name=f"reg_block{i + 1}_norm")(reg)
+            reg = nn.relu(reg)
+        reg = reg.reshape(b, r, -1).astype(jnp.float32)
+        bbox_delta = nn.Dense(4 * self.num_reg_class,
+                              kernel_init=nn.initializers.normal(0.001),
+                              name="bbox_delta")(reg)
+        return cls_logit, bbox_delta

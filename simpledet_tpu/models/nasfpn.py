@@ -19,20 +19,32 @@ xavier_avg_uniform = nn.initializers.variance_scaling(1.0, "fan_avg",
                                                       "uniform")
 
 
+def _fit_hw(y, ref):
+    """Clip and/or edge-pad y's spatial dims to exactly match ref's (odd
+    pyramid sizes make integer-ratio resampling land 1 short)."""
+    y = y[:, :ref.shape[1], :ref.shape[2], :]
+    dy = ref.shape[1] - y.shape[1]
+    dx = ref.shape[2] - y.shape[2]
+    if dy > 0 or dx > 0:
+        y = jnp.pad(y, ((0, 0), (0, max(dy, 0)), (0, max(dx, 0)), (0, 0)),
+                    mode="edge")
+    return y
+
+
 def upsample_to(x, ref):
-    """Nearest upsample by the integer ratio then clip to ref's spatial dims."""
-    ry = max(ref.shape[1] // max(x.shape[1], 1), 1)
-    rx = max(ref.shape[2] // max(x.shape[2], 1), 1)
-    y = jnp.repeat(jnp.repeat(x, ry, 1), rx, 2)
-    return y[:, :ref.shape[1], :ref.shape[2], :]
+    """Nearest upsample by the integer ratio then fit to ref's spatial dims."""
+    ry = -(-ref.shape[1] // max(x.shape[1], 1))
+    rx = -(-ref.shape[2] // max(x.shape[2], 1))
+    y = jnp.repeat(jnp.repeat(x, max(ry, 1), 1), max(rx, 1), 2)
+    return _fit_hw(y, ref)
 
 
 def pool_to(x, ref):
-    """Max-pool downsample by the integer ratio then clip to ref."""
+    """Max-pool downsample by the integer ratio then fit to ref."""
     ry = max(x.shape[1] // max(ref.shape[1], 1), 1)
     rx = max(x.shape[2] // max(ref.shape[2], 1), 1)
     y = nn.max_pool(x, (ry, rx), strides=(ry, rx))
-    return y[:, :ref.shape[1], :ref.shape[2], :]
+    return _fit_hw(y, ref)
 
 
 def resize_to(x, ref):

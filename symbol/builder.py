@@ -17,3 +17,9 @@ from simpledet_tpu.dsl import (  # noqa: F401,E402
     MSRAResNet50V1C4,
     MSRAResNet101V1C4,
 )
+
+from simpledet_tpu.dsl import (  # noqa: F401,E402
+    ReduceNeck,
+    MXNetResNet50V2C4C5,
+    MXNetResNet101V2C4C5,
+)

@@ -25,6 +25,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# persistent compilation cache: repeated test runs reuse compiled
+# executables instead of re-tracing the full detectors each time
+try:
+    import jax as _jax_cache
+
+    _cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                "/tmp/simpledet_jax_cache_cpu")
+    os.makedirs(_cache_dir, exist_ok=True)
+    _jax_cache.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax_cache.config.update("jax_persistent_cache_min_compile_time_secs",
+                             1.0)
+except Exception:
+    pass
+
 
 # ---------------------------------------------------------------------------
 # slow/fast lanes: tests measured >=9s on the CPU mesh get the `slow` marker

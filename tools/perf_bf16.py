@@ -14,6 +14,12 @@ def bench_config(path, batch_image=2, h=800, w=1333, n_iter=10, profile=None):
     import jax
     import jax.numpy as jnp
 
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/simpledet_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from simpledet_tpu.core.config import load_config
     from simpledet_tpu.core.optimizer import freeze_mask, make_optimizer
     from simpledet_tpu.core.schedule import warmup_multifactor
@@ -38,10 +44,11 @@ def bench_config(path, batch_image=2, h=800, w=1333, n_iter=10, profile=None):
             np.tile(np.array([[h, w, 1.0]], np.float32), (batch_image, 1))),
         "gt_bbox": jnp.asarray(gt),
     }
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-        batch["data"][:1], batch["im_info"][:1], batch["gt_bbox"][:1],
-        mode="train")
+    variables = jax.jit(
+        lambda k1, k2, d, ii, g: model.init(
+            {"params": k1, "sampling": k2}, d, ii, g, mode="train"))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+        batch["data"][:1], batch["im_info"][:1], batch["gt_bbox"][:1])
     params = variables["params"]
     sched = warmup_multifactor(0.02, [60000], warmup_lr=0.007,
                                warmup_iter=500)

@@ -26,6 +26,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/simpledet_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from simpledet_tpu.core.config import load_config
     from simpledet_tpu.core.optimizer import freeze_mask, make_optimizer
     from simpledet_tpu.core.train import TrainState, make_train_step
@@ -50,11 +56,11 @@ def main():
                                    jnp.float32),
             "gt_bbox": jnp.asarray(gt),
         }
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0),
-             "sampling": jax.random.PRNGKey(1)},
-            batch["data"][:1], batch["im_info"][:1], batch["gt_bbox"][:1],
-            mode="train")
+        variables = jax.jit(
+            lambda k1, k2, d, ii, g: model.init(
+                {"params": k1, "sampling": k2}, d, ii, g, mode="train"))(
+            jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+            batch["data"][:1], batch["im_info"][:1], batch["gt_bbox"][:1])
         tx = make_optimizer(lambda s: 0.01, momentum=0.9, wd=1e-4,
                             trainable_mask=freeze_mask(
                                 variables["params"],
