@@ -90,11 +90,21 @@ def anchor_target(rng, anchors, gt_bbox, im_hw, *,
     label = subsample_labels(rng, label, image_anchor, fg_fraction,
                              deterministic=deterministic)
 
-    matched_gt = gt_bbox[arg_ov, :4]
-    target = encode_boxes(anchors, matched_gt, means=bbox_mean, stds=bbox_std)
-    fg = (label == 1.0)[:, None]
-    target = jnp.where(fg & (num_gt > 0), target, 0.0)
-    weight = jnp.where(fg & (num_gt > 0), 1.0, 0.0) * jnp.ones((n, 4))
+    # Regression targets only matter for the <= image_anchor sampled fg
+    # anchors, so compute them sparsely: a dense [N]-row gather from the gt
+    # table serializes badly on TPU (profiled at ~6 ms per coordinate at
+    # flagship scale), while a 256-row gather + scatter is microseconds.
+    k = image_anchor
+    fg_mask = (label == 1.0) & (num_gt > 0)
+    (fg_idx,) = jnp.nonzero(fg_mask, size=k, fill_value=n)
+    safe_idx = jnp.minimum(fg_idx, n - 1)
+    fg_anchors = jnp.take(anchors, safe_idx, axis=0)            # [K, 4]
+    fg_gt = jnp.take(gt_bbox[:, :4], jnp.take(arg_ov, safe_idx),
+                     axis=0)                                    # [K, 4]
+    t = encode_boxes(fg_anchors, fg_gt, means=bbox_mean, stds=bbox_std)
+    # fill rows carry index n -> dropped by the out-of-bounds scatter mode
+    target = jnp.zeros((n, 4)).at[fg_idx].set(t, mode="drop")
+    weight = jnp.zeros((n, 4)).at[fg_idx].set(1.0, mode="drop")
     return label, target, weight
 
 
