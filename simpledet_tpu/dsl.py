@@ -788,8 +788,9 @@ class DoublePredFPNBbox2fcHead:
         num_reg = 2 if (p.regress_target.class_agnostic or False) \
             else p.num_class
         self.module = DoublePredBbox2fcHead(
-            num_class=p.num_class, num_reg_class=num_reg, dtype=_dtype(p),
-            name="bbox_head")
+            num_class=p.num_class, num_reg_class=num_reg,
+            refine=bool(p.refine_mode), repeat_time=p.repeat_time or 4,
+            dtype=_dtype(p), name="bbox_head")
 
 
 class DoublePredRcnn:

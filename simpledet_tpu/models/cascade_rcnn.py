@@ -59,7 +59,7 @@ class CascadeRcnn(nn.Module):
 
     def extract_rois(self, pyramid, rois):
         strides = tuple(self.p_roi.stride)
-        feats = [pyramid[f"stride{s}"].astype(jnp.float32) for s in strides]
+        feats = [pyramid[f"stride{s}"] for s in strides]
         return batched_multilevel_roi_align(
             feats, rois, strides, out_size=self.p_roi.out_size,
             canonical_scale=self.p_roi.roi_canonical_scale or 224,

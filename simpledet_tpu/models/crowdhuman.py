@@ -26,9 +26,16 @@ from simpledet_tpu.targets.proposal_target import \
 
 
 class DoublePredBbox2fcHead(nn.Module):
-    """roi_feat [B,R,P,P,C] -> (cls1, reg1, cls2, reg2)."""
+    """roi_feat [B,R,P,P,C] -> (cls1, reg1, cls2, reg2)[, refined quad].
+
+    refine=True adds the reference's refine module (builder.py:191-252
+    get_refine_output): each branch's softmaxed fg probs + fg deltas are
+    tiled repeat_time times, concatenated onto the fc2 trunk feature, passed
+    through a weight-shared fc3 (1024) and fresh cls/reg fcs."""
     num_class: int
     num_reg_class: int
+    refine: bool = False
+    repeat_time: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -50,6 +57,25 @@ class DoublePredBbox2fcHead(nn.Module):
                            kernel_init=nn.initializers.normal(0.001),
                            name=f"bbox_delta{i}")(x)
             outs.extend([cls, reg])
+        if not self.refine:
+            return tuple(outs)
+
+        fc3 = nn.Dense(1024, kernel_init=xavier_in_uniform,
+                       name="fc3_refine")                # shared across branches
+        for i, (cls, reg) in enumerate(((outs[0], outs[1]),
+                                        (outs[2], outs[3])), start=1):
+            fg_prob = jax.nn.softmax(cls, -1)[..., 1:]   # drop background
+            fg_delta = reg[..., 4:]                      # drop bg deltas
+            pred = jnp.tile(jnp.concatenate([fg_delta, fg_prob], -1),
+                            (1, 1, self.repeat_time))
+            h = nn.relu(fc3(jnp.concatenate([x, pred], -1)))
+            rcls = nn.Dense(self.num_class,
+                            kernel_init=nn.initializers.normal(0.01),
+                            name=f"refine_cls_logit{i}")(h)
+            rreg = nn.Dense(4 * self.num_reg_class,
+                            kernel_init=nn.initializers.normal(0.001),
+                            name=f"refine_bbox_delta{i}")(h)
+            outs.extend([rcls, rreg])
         return tuple(outs)
 
 
@@ -111,16 +137,22 @@ class DoublePredRcnn(FasterRcnn):
             sample = jax.lax.stop_gradient(sample)
 
             roi_feat = self.extract_rois(pyr, sample["rois"])
-            cls1, reg1, cls2, reg2 = self.bbox_head(roi_feat)
+            head_out = self.bbox_head(roi_feat)
+            cls1, reg1, cls2, reg2 = head_out[:4]
             sl = getattr(self.p_bbox.regress_target, "smooth_l1_scalar",
                          None) or 1.0
-            loss = emd_loss(
-                cls1, reg1, cls2, reg2,
-                sample["label"], sample["bbox_target"],
-                sample["bbox_weight"], sample["sec_label"],
-                sample["sec_bbox_target"], sample["sec_bbox_weight"],
-                smooth_l1_scalar=sl)
-            losses = {"emd_loss": loss}
+
+            def _emd(c1, r1, c2, r2):
+                return emd_loss(
+                    c1, r1, c2, r2,
+                    sample["label"], sample["bbox_target"],
+                    sample["bbox_weight"], sample["sec_label"],
+                    sample["sec_bbox_target"], sample["sec_bbox_weight"],
+                    smooth_l1_scalar=sl)
+
+            losses = {"emd_loss": _emd(cls1, reg1, cls2, reg2)}
+            if len(head_out) == 8:   # refine mode: second EMD on refined out
+                losses["refine_emd_loss"] = _emd(*head_out[4:])
             losses.update(rpn_losses)
             aux = dict(rpn_aux)
             aux["bbox_label"] = sample["label"]
@@ -131,7 +163,11 @@ class DoublePredRcnn(FasterRcnn):
         proposals, prop_scores = self.rpn.proposals(rpn_out, im_info, pad_hw,
                                                     is_train=False)
         roi_feat = self.extract_rois(pyr, proposals)
-        cls1, reg1, cls2, reg2 = self.bbox_head(roi_feat)
+        head_out = self.bbox_head(roi_feat)
+        # refine mode: test uses the refined predictions (reference
+        # get_prediction :119-123 replaces the raw pair)
+        cls1, reg1, cls2, reg2 = head_out[4:] if len(head_out) == 8 \
+            else head_out[:4]
         rt = self.p_bbox.regress_target
         num_class = self.p_bbox.num_class
 

@@ -408,7 +408,7 @@ class TridentFasterRcnn(nn.Module):
         stride = self.p_roi.stride
         if hasattr(stride, "__len__"):
             stride = stride[0]
-        feat = feats[f"stride{stride}"].astype(jnp.float32)
+        feat = feats[f"stride{stride}"]
         return batched_multilevel_roi_align(
             [feat], rois, (stride,), out_size=self.p_roi.out_size,
             canonical_scale=224, canonical_level=4)

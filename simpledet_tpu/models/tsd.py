@@ -165,7 +165,7 @@ class TSDFasterRcnn(FasterRcnn):
 
     def _extract_deform(self, pyramid, rois, bin_offset):
         strides = tuple(self.p_roi.stride)
-        feats = [pyramid[f"stride{s}"].astype(jnp.float32) for s in strides]
+        feats = [pyramid[f"stride{s}"] for s in strides]
         fn = lambda fs, r, bo: multilevel_roi_align(
             fs, r, strides, out_size=self.p_roi.out_size,
             canonical_scale=self.p_roi.roi_canonical_scale or 224,

@@ -77,7 +77,8 @@ def test_double_proposal_target_second_gt():
     assert out["sec_bbox_target"].shape == (8, 8)
 
 
-def test_crowdhuman_e2e_tiny():
+@pytest.mark.parametrize("refine", [False, True])
+def test_crowdhuman_e2e_tiny(refine):
     from models.crowdhuman.builder import (
         DoublePredRcnn, DoublePredFPNBbox2fcHead, FPNNeck, FPNRpnHead,
         FPNRoiAlign, MSRAResNet50V1FPN)
@@ -143,6 +144,9 @@ def test_crowdhuman_e2e_tiny():
             mean = (0.0, 0.0, 0.0, 0.0)
             std = (0.1, 0.1, 0.2, 0.2)
 
+    BboxP.refine_mode = refine
+    BboxP.repeat_time = 2
+
     class RoiP:
         fp16 = False
         normalizer = None
@@ -178,6 +182,7 @@ def test_crowdhuman_e2e_tiny():
         jax.value_and_grad(loss_fn, has_aux=True))(v["params"])
     assert np.isfinite(float(total))
     assert "emd_loss" in losses
+    assert ("refine_emd_loss" in losses) == refine
     gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
     assert np.isfinite(gnorm) and gnorm > 0
 
