@@ -1,17 +1,19 @@
 """Benchmark: Faster R-CNN R50-FPN 1x train throughput on one TPU chip.
 
-Prints ONE JSON line. Baseline: the reference trains faster_r50v1_fpn_1x at
-43 img/s on 8x 1080Ti = 5.375 img/s per GPU (reference MODEL_ZOO.md:99,
-copied in BASELINE.md). We measure the same workload — batch 2 per chip,
-800x1333 padded inputs, full train step (fwd+bwd+SGD+in-graph targets) —
-on a single chip.
+Prints ONE JSON line. Benches the bf16 flagship (mixed precision is the
+reference's headline feature and the best-practice TPU training dtype);
+the comparable reference number is its fp16 run: 65 img/s on 8x 2080Ti =
+8.125 img/s per GPU (reference MODEL_ZOO.md:128, copied in BASELINE.md;
+its fp32 run is 5.375 img/s per GPU). We measure the same workload —
+batch 2 per chip, 800x1333 padded inputs, full train step
+(fwd+bwd+SGD+in-graph target generation) — on a single chip.
 """
 import json
 import time
 
 import numpy as np
 
-BASELINE_IMG_PER_SEC_PER_GPU = 43.0 / 8.0
+BASELINE_IMG_PER_SEC_PER_GPU = 65.0 / 8.0  # reference fp16 row
 
 
 def main():
@@ -32,7 +34,7 @@ def main():
     from simpledet_tpu.core.schedule import warmup_multifactor
     from simpledet_tpu.core.train import TrainState, make_train_step
 
-    cfg = load_config("config/faster_r50v1_fpn_1x.py")
+    cfg = load_config("config/faster_r50v1_fpn_bf16_1x.py")
     (General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
      ModelParam, OptimizeParam, TestParam, transform, data_name, label_name,
      metric_list) = cfg.get_config(is_train=True)
@@ -94,7 +96,7 @@ def main():
 
     img_per_sec = batch_image * n_iter / dt
     print(json.dumps({
-        "metric": "faster_r50v1_fpn_1x train throughput (1 chip, batch 2, 800x1333)",
+        "metric": "faster_r50v1_fpn bf16 train throughput (1 chip, batch 2, 800x1333)",
         "value": round(img_per_sec, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 3),
