@@ -240,22 +240,22 @@ def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, canvas, wy_ref,
 
 def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, tabs_in, g_ref,
                 mask_ref, wy_ref, tabs_out, win, dtmp, rsems, wsems, *,
-                crop, crop_x, c, p, br):
+                crop, crop_x, c, p, br, slots):
     r = pl.program_id(0)
 
     def window(idx):
-        s = jax.lax.rem(idx, 2)
+        s = jax.lax.rem(idx, slots)
         return tabs_out.at[s, img_ref[idx],
                            pl.ds(pl.multiple_of(y0_ref[idx], 8), crop),
                            pl.ds(pl.multiple_of(xgc_ref[idx], 8 * c),
                                  crop_x * c)]
 
     def rd(idx):
-        s = jax.lax.rem(idx, 2)
+        s = jax.lax.rem(idx, slots)
         return pltpu.make_async_copy(window(idx), win.at[s], rsems.at[s])
 
     def wr(idx):
-        s = jax.lax.rem(idx, 2)
+        s = jax.lax.rem(idx, slots)
         return pltpu.make_async_copy(win.at[s], window(idx), wsems.at[s])
 
     @pl.when(r == 0)
@@ -286,14 +286,19 @@ def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, tabs_in, g_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
 
-    slot = jax.lax.rem(r, 2)
+    slot = jax.lax.rem(r, slots)
     rd(r).wait()
-    win[slot] = win[slot] + dwin
+    win[slot] = (win[slot].astype(jnp.float32) + dwin).astype(win.dtype)
     wr(r).start()
 
-    @pl.when(r >= 1)
+    # rd(r+1) writes win slot (r+1) % slots, which wr(r+1-slots) is still
+    # copying out, and reads table (r+1) % slots, which the same write
+    # targets — so that one write must land first. With `slots` tables the
+    # wait is slots-1 steps behind the write, giving the RMW DMA chain
+    # slots-1 grid steps of slack instead of the serial rd->wr->rd chain.
+    @pl.when(r >= slots - 1)
     def _():
-        wr(r - 1).wait()
+        wr(r - (slots - 1)).wait()
 
     @pl.when(r + 1 < br)
     def _():
@@ -301,7 +306,9 @@ def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, tabs_in, g_ref,
 
     @pl.when(r == br - 1)
     def _():
-        wr(r).wait()
+        # drain every write not yet waited on (the last min(slots-1, br))
+        for j in range(min(slots - 1, br)):
+            wr(br - 1 - j).wait()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
@@ -389,7 +396,13 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
 
     g = g.reshape(br, p, p, c).astype(jnp.float32)
     g = jnp.where(empty[..., None], 0.0, g)
-    tabs0 = jnp.zeros((2, b, hp, wtot * c), jnp.float32)
+    # Accumulate straight in the feature dtype: for bf16 features the final
+    # canvas is cast to bf16 anyway, so f32 tables only change the rounding
+    # of per-window accumulation (few overlapping rois per cell) while
+    # doubling the RMW DMA traffic — the dominant cost of this kernel.
+    slots = 4
+    tab_dt = dtype if dtype == jnp.bfloat16 else jnp.float32
+    tabs0 = jnp.zeros((slots, b, hp, wtot * c), tab_dt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -403,24 +416,24 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, cw, cw * c), jnp.float32),
+            pltpu.VMEM((slots, cw, cw * c), tab_dt),
             pltpu.VMEM((2 * p, cw * c), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots,)),
         ],
     )
     tabs = pl.pallas_call(
         functools.partial(_bwd_kernel, crop=cw, crop_x=cw, c=c, p=p,
-                          br=br),
+                          br=br, slots=slots),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, b, hp, wtot * c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((slots, b, hp, wtot * c), tab_dt),
         input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(img_idx, y0, xgc0, xl, fx, tabs0, g, mask, wy)
 
-    gc = (tabs[0] + tabs[1]).reshape(b, hp, wtot, c)
+    gc = jnp.sum(tabs.astype(jnp.float32), axis=0).reshape(b, hp, wtot, c)
     gfeats = [gc[:, :h, off:off + w, :].astype(dtype)
               for (h, w), off in zip(shapes, offs)]
     return gfeats, jnp.zeros_like(rois)

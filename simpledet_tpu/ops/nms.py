@@ -65,6 +65,11 @@ def nms_keep_sorted_fixpoint(sorted_boxes, sorted_valid, thr,
     # sup[j, i]: j (higher-scored, j < i) can suppress i
     sup = ((iou > thr) & sorted_valid[None, :] & sorted_valid[:, None]
            & (idx[:, None] < idx[None, :]))
+    # materialize: without the barrier XLA fuses the whole IoU computation
+    # into the while body and re-evaluates the [N, N] overlap matrix every
+    # fixpoint iteration (profiled 14x ~0.4ms/iter at flagship scale vs one
+    # 40MB pred buffer read per iteration)
+    sup = jax.lax.optimization_barrier(sup)
 
     def f(k):
         return ~jnp.any(sup & k[:, None], axis=0)

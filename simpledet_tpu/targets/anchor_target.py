@@ -50,6 +50,11 @@ def anchor_target(rng, anchors, gt_bbox, im_hw, *,
     ov = bbox_overlaps(anchors, gt_bbox[:, :4])          # [N, G]
     ov = jnp.where(gt_valid[None, :], ov, -1.0)          # mask padded gt
     ov = jnp.where(valid[:, None], ov, -1.0)             # mask invalid anchors
+    # materialize: ov feeds three reductions (max/argmax over gt, max over
+    # anchors, gt-best membership); without the barrier XLA re-derives the
+    # full [N, G] IoU inside each consumer fusion (profiled ~5 ms/step of
+    # recompute at flagship scale vs ~1 ms of buffer traffic)
+    ov = jax.lax.optimization_barrier(ov)
 
     max_ov = jnp.max(ov, axis=1)
     arg_ov = jnp.argmax(ov, axis=1)
@@ -87,16 +92,18 @@ def anchor_target(rng, anchors, gt_bbox, im_hw, *,
         label = jnp.where(any_ignore & hit_ignore & (label == 0), -1.0,
                           label)
 
-    label = subsample_labels(rng, label, image_anchor, fg_fraction,
-                             deterministic=deterministic)
+    label, fg_idx = subsample_labels(rng, label, image_anchor, fg_fraction,
+                                     deterministic=deterministic,
+                                     return_fg_idx=True)
 
     # Regression targets only matter for the <= image_anchor sampled fg
     # anchors, so compute them sparsely: a dense [N]-row gather from the gt
     # table serializes badly on TPU (profiled at ~6 ms per coordinate at
     # flagship scale), while a 256-row gather + scatter is microseconds.
-    k = image_anchor
-    fg_mask = (label == 1.0) & (num_gt > 0)
-    (fg_idx,) = jnp.nonzero(fg_mask, size=k, fill_value=n)
+    # fg_idx comes straight from the sampler's top-k (a nonzero() here
+    # lowers to a full [N] sort — profiled at ~5 ms at flagship scale);
+    # rows padded with n are dropped by the out-of-bounds scatter mode.
+    fg_idx = jnp.where(num_gt > 0, fg_idx, n)
     safe_idx = jnp.minimum(fg_idx, n - 1)
     fg_anchors = jnp.take(anchors, safe_idx, axis=0)            # [K, 4]
     fg_gt = jnp.take(gt_bbox[:, :4], jnp.take(arg_ov, safe_idx),

@@ -51,25 +51,32 @@ def random_rank(rng, mask, deterministic=False):
     return jnp.where(mask, rank, n)
 
 
-def subsample_labels(rng, label, num_sample, fg_fraction, deterministic=False):
+def subsample_labels(rng, label, num_sample, fg_fraction, deterministic=False,
+                     return_fg_idx=False):
     """Reference _sample_anchor semantics (core/detection_input.py:480-495):
 
     label: [N] with {1: fg, 0: bg, -1: ignore}. Keep at most
     num_fg = fg_fraction*num_sample positives (random subset; excess -> -1),
-    then at most num_sample - kept_fg backgrounds. Returns new label.
-
-    Implementation note: the bg selection needs a DYNAMIC count
-    (num_sample - kept fg). An argsort over all N anchors (~270k at
-    800x1333) costs tens of ms on TPU; instead top_k picks num_sample
-    random bg candidates (sorted by priority) and a rank-prefix mask keeps
-    the first num_bg — identical distribution, ~10x cheaper.
+    then at most num_sample - kept_fg backgrounds. Returns new label; with
+    return_fg_idx=True returns (label, fg_idx [num_fg]) where fg_idx holds
+    the indices of the kept positives padded with n — callers that need the
+    fg set (regression-target gathers) reuse the top-k the selection already
+    ran instead of a nonzero() (which lowers to a full [N] sort on TPU,
+    profiled at ~5 ms at flagship scale).
     """
     rng_fg, rng_bg = jax.random.split(rng)
     num_fg = int(fg_fraction * num_sample)
     n = label.shape[0]
 
     fg_mask = label == 1
-    keep_fg = random_topk_mask(rng_fg, fg_mask, num_fg, deterministic)
+    prio_fg = jnp.where(fg_mask, _priorities(rng_fg, n, deterministic),
+                        -jnp.inf)
+    if deterministic:
+        vals_fg, idx_fg = jax.lax.top_k(prio_fg, num_fg)
+    else:
+        vals_fg, idx_fg = fast_top_k(prio_fg, num_fg)
+    sel_fg = jnp.isfinite(vals_fg)
+    keep_fg = jnp.zeros((n,), bool).at[idx_fg].set(sel_fg) & fg_mask
     label = jnp.where(fg_mask & ~keep_fg, -1.0, label)
 
     n_fg_kept = jnp.sum(label == 1)
@@ -84,4 +91,7 @@ def subsample_labels(rng, label, num_sample, fg_fraction, deterministic=False):
     sel = (pos < num_bg) & jnp.isfinite(vals)
     keep_bg = jnp.zeros((n,), bool).at[idx].set(sel)
     label = jnp.where(bg_mask & ~keep_bg, -1.0, label)
+    if return_fg_idx:
+        fg_idx = jnp.where(sel_fg, idx_fg, n)
+        return label, fg_idx
     return label
