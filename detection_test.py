@@ -124,6 +124,14 @@ def test_net(config_path, max_images=None):
     # batch >1 amortizes dispatch + fills the chip (the reference used
     # threaded multi-GPU eval; infer harness shows ~2x at batch 4)
     eval_batch = int(TestParam.batch_image or 4)
+    if variables.get("batch_stats") and batch_stats is None \
+            and not TestParam.batch_image:
+        # legacy syncbn checkpoint without running stats: per-batch eval
+        # statistics would mix differently-padded images at batch>1, so
+        # keep the historical batch-1 behavior unless the config opts in
+        eval_batch = 1
+        logger.info("syncbn without running stats: forcing eval batch 1 "
+                    "(per-batch statistics)")
 
     raw = {}                             # im_id -> list of (score, boxes)
     detections = []

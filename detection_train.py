@@ -12,7 +12,11 @@ import time
 import numpy as np
 
 
-def train_net(config_path, max_iter_override=None, auto_resume=False):
+def train_net(config_path, max_iter_override=None, auto_resume=False,
+              loss_history=None):
+    """loss_history: optional list; when given, every drained step's scalar
+    losses are appended as {name: float} dicts (convergence tests assert
+    windowed loss decrease on it without parsing the log)."""
     import jax
     import jax.numpy as jnp
 
@@ -91,10 +95,14 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
         teacher_fn = create_teacher_fn(ModelParam.teacher_param,
                                        jnp.asarray(sample0["data"]), logger)
         extra0["teacher_label"] = teacher_fn(jnp.asarray(sample0["data"]))
-    variables = model.init(
+    # jit the init: one compiled program instead of hundreds of eager op
+    # dispatches (an order of magnitude faster for fresh model shapes)
+    init_fn = jax.jit(lambda rngs, d, ii, gt, ex:
+                      model.init(rngs, d, ii, gt, mode="train", **ex))
+    variables = init_fn(
         {"params": rng, "sampling": jax.random.fold_in(rng, 1)},
         jnp.asarray(sample0["data"]), jnp.asarray(sample0["im_info"]),
-        jnp.asarray(sample0["gt_bbox"]), mode="train", **extra0)
+        jnp.asarray(sample0["gt_bbox"]), extra0)
     params = variables["params"]
     batch_stats = variables.get("batch_stats") or None  # SyncBN running stats
     n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -241,30 +249,50 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
         aux_host = jax.tree.map(np.asarray, p_aux)
         aux_host.update(jax.tree.map(np.asarray, p_losses))
         metrics.update(aux_host)
+        if loss_history is not None:
+            loss_history.append({k: float(np.mean(v)) for k, v in
+                                 jax.tree.map(np.asarray, p_losses).items()})
         pending = None
 
     detail = bool(General.detail_log)
+
+    def fetch_and_stage(it):
+        """Next host batch -> device shards. Called right after the step is
+        DISPATCHED, so the H2D copy (and the KD teacher forward) overlap
+        with the running step — the device-side prefetch analog of the
+        reference's next_data_batch (core/detection_module.py:1016-1021)."""
+        batch = next(it, None)
+        if batch is None:
+            return None
+        batch.pop("valid", None)
+        if teacher_fn is not None:
+            batch["teacher_label"] = teacher_fn(jnp.asarray(batch["data"]))
+        return shard_batch(batch, mesh)
+
     for epoch in range(begin_epoch, end_epoch):
         logger.info(f"starting epoch {epoch}")
         it = iter(loader)
+        if detail:
+            speedo.tic_data()
+        staged = fetch_and_stage(it)
+        if detail and staged is not None:
+            speedo.toc_data()
         while True:
-            if detail:
-                speedo.tic_data()
-            batch = next(it, None)
-            if batch is None:
+            if staged is None:
                 break
-            if detail:
-                speedo.toc_data()
+            dev_batch = staged
             if profile and steps_this_run == 1:
                 jax.profiler.start_trace(os.path.join(exp_dir, "profile"))
-            batch.pop("valid", None)
-            if teacher_fn is not None:
-                batch["teacher_label"] = teacher_fn(jnp.asarray(batch["data"]))
-            dev_batch = shard_batch(batch, mesh)
             state, losses, aux = step_fn(state, dev_batch,
                                          jax.random.fold_in(step_rng, n_iter))
             n_iter += 1
             steps_this_run += 1
+            # stage the NEXT batch while this step runs on device
+            if detail:
+                speedo.tic_data()
+            staged = fetch_and_stage(it)
+            if detail:
+                speedo.toc_data()
             if profile and steps_this_run == 10:
                 jax.tree.map(lambda x: x.block_until_ready(), losses)
                 jax.profiler.stop_trace()
@@ -288,9 +316,17 @@ def train_net(config_path, max_iter_override=None, auto_resume=False):
             if max_iter_override and steps_this_run >= max_iter_override:
                 break
         drain_pending()
-        save_checkpoint(prefix, epoch + 1, state.params, state.opt_state,
-                        step=state.step, batch_stats=state.batch_stats)
-        logger.info(f"saved checkpoint epoch {epoch + 1}")
+        # checkpoint_period: save every N epochs (always the final epoch and
+        # on early break); tiny-epoch convergence runs would otherwise spend
+        # most of their time serializing params
+        period = General.checkpoint_period or 1
+        stopping = ((epoch + 1 == end_epoch)
+                    or (max_iter_override
+                        and steps_this_run >= max_iter_override))
+        if (epoch + 1) % period == 0 or stopping:
+            save_checkpoint(prefix, epoch + 1, state.params, state.opt_state,
+                            step=state.step, batch_stats=state.batch_stats)
+            logger.info(f"saved checkpoint epoch {epoch + 1}")
         if max_iter_override and steps_this_run >= max_iter_override:
             break
     logger.info("training done")

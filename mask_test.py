@@ -123,8 +123,12 @@ def mask_test_net(config_path, max_images=None):
     result_json = os.path.join(exp_dir, DatasetParam.image_set[0]
                                + "_segm_result.json")
     os.makedirs(exp_dir, exist_ok=True)
+    # COCO segm result format: masks as compressed RLE (what the reference
+    # emits through pycocotools encode, mask_test.py result json)
+    from simpledet_tpu.data.rle import encode_rle
     with open(result_json, "w") as f:
-        json.dump([{k: v for k, v in d.items() if k != "_mask"}
+        json.dump([dict({k: v for k, v in d.items() if k != "_mask"},
+                        segmentation=encode_rle(d["_mask"]))
                    for d in detections], f)
     logger.info(f"wrote {result_json}")
 
@@ -135,18 +139,16 @@ def mask_test_net(config_path, max_images=None):
 
     with open(ann) as f:
         gt = json.load(f)
-    # rasterize gt polygons to binary masks for the in-repo segm evaluator
-    # (native C++ scanline fill when built; cv2 fallback inside native pkg)
-    from simpledet_tpu import native
+    # gt segmentations -> binary masks for the in-repo segm evaluator:
+    # polygons via the native scanline fill, RLE (crowd gt) via the numpy
+    # codec (simpledet_tpu/data/rle.py) — crowd instances must carry real
+    # masks so the evaluator's crowd-ignore IoU matches pycocotools
+    from simpledet_tpu.data.rle import segmentation_to_mask
     img_hw = {im["id"]: (im["height"], im["width"]) for im in gt["images"]}
     for a in gt.get("annotations", []):
         seg = a.get("segmentation")
         h, w = img_hw[a["image_id"]]
-        if isinstance(seg, list) and seg:
-            polys = [np.asarray(p, np.float64) for p in seg]
-            a["_mask"] = native.rasterize_polygons(polys, int(h), int(w))
-        else:
-            a["_mask"] = np.zeros((int(h), int(w)), np.uint8)
+        a["_mask"] = segmentation_to_mask(seg, h, w)
 
     summaries = {}
     for iou_type in ("bbox", "segm"):

@@ -62,6 +62,8 @@ class Loader:
         for i, r in enumerate(self.roidb):
             r.setdefault("rec_id", start + i)
         self.aspect_grouping = aspect_grouping
+        self._len = None    # batch count is shuffle-invariant; cache it
+        self._pool = None   # one ThreadPoolExecutor for the loader lifetime
 
     def _batches(self):
         rng = np.random.RandomState(self.seed + self.epoch)
@@ -86,7 +88,14 @@ class Loader:
         return all_batches
 
     def __len__(self):
-        return len(self._batches())
+        # analytic count (no batch materialization / shuffle): each aspect
+        # group contributes ceil(len/batch) batches whether padded or masked
+        if self._len is None:
+            groups = aspect_group(self.roidb) if self.aspect_grouping \
+                else [self.roidb]
+            self._len = sum(-(-len(g) // self.batch_size)
+                            for g in groups if len(g))
+        return self._len
 
     def _make(self, records):
         n_valid = len(records)
@@ -111,16 +120,21 @@ class Loader:
                 yield self._make(b)
             return
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            futures = queue.Queue()
-            depth = min(self.prefetch, len(batches))
-            it = iter(batches)
-            for _ in range(depth):
+        # one pool for the loader's lifetime (the reference keeps its worker
+        # threads across epochs too, core/detection_input.py:713-728);
+        # recreating it every epoch paid thread startup per epoch
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(self.num_workers)
+        pool = self._pool
+        futures = queue.Queue()
+        depth = min(self.prefetch, len(batches))
+        it = iter(batches)
+        for _ in range(depth):
+            futures.put(pool.submit(self._make, next(it)))
+        pending = len(batches) - depth
+        while not futures.empty():
+            f = futures.get()
+            if pending > 0:
                 futures.put(pool.submit(self._make, next(it)))
-            pending = len(batches) - depth
-            while not futures.empty():
-                f = futures.get()
-                if pending > 0:
-                    futures.put(pool.submit(self._make, next(it)))
-                    pending -= 1
-                yield f.result()
+                pending -= 1
+            yield f.result()

@@ -15,12 +15,24 @@ from simpledet_tpu.data.transforms import DetectionAugmentation
 
 
 class PreprocessGtPoly(DetectionAugmentation):
-    """roidb gt_poly [[list-of-flat-xy]] -> [[float32 ndarray]]."""
+    """roidb gt_poly [[list-of-flat-xy]] -> [[float32 ndarray]].
+
+    RLE segmentations (COCO iscrowd=1 instances, plus the occasional
+    non-crowd RLE) are decoded to a binary mask and converted to contour
+    polygons here, so the rest of the pipeline (resize/flip/pad +
+    on-device edge rasterization) is format-agnostic. Mirrors the
+    reference's maskApi RLE handling
+    (/root/reference/operator_cxx/proposal_mask_target.cc:20-96)."""
 
     def apply(self, r):
+        from simpledet_tpu.data.rle import decode_rle, mask_to_polygons
         polys = r.get("gt_poly", [])
-        r["gt_poly"] = [[np.asarray(s, np.float32) for s in inst]
-                        for inst in polys]
+        out = []
+        for inst in polys:
+            if isinstance(inst, dict):          # RLE segmentation
+                inst = mask_to_polygons(decode_rle(inst))
+            out.append([np.asarray(s, np.float32) for s in (inst or [])])
+        r["gt_poly"] = out
         return r
 
 

@@ -44,6 +44,14 @@ def create_coco_roidb(annotation_json, image_dir, with_poly=False,
     Category ids are remapped to contiguous 1..K sorted by original id;
     class 0 is background. Images without annotations are kept (filtered at
     train time like the reference's valid-image filtering).
+
+    include_crowd: the reference drops iscrowd=1 instances entirely
+    (getAnnIds(iscrowd=False), create_coco_roidb.py:38). With
+    include_crowd=True, crowd boxes are kept as IGNORE regions (class -2,
+    the crowdhuman convention the target assigners understand: anchors
+    covering them train as neither fg nor bg, and they are excluded from
+    proposal sampling). Their RLE segmentations pass through; the mask
+    transforms decode them (simpledet_tpu/data/rle.py).
     """
     with open(annotation_json) as f:
         coco = json.load(f)
@@ -70,11 +78,16 @@ def create_coco_roidb(annotation_json, image_dir, with_poly=False,
             y2 = min(max(y + h - 1, 0), img["height"] - 1)
             if x2 <= x1 or y2 <= y1:
                 continue
-            gt_class.append(cat_to_contiguous[a["category_id"]])
+            crowd = bool(a.get("iscrowd", 0))
+            gt_class.append(-2 if crowd
+                            else cat_to_contiguous[a["category_id"]])
             gt_bbox.append([x1, y1, x2, y2])
             if with_poly:
                 seg = a.get("segmentation")
-                gt_poly.append(seg if isinstance(seg, list) else [])
+                if isinstance(seg, (list, dict)):
+                    gt_poly.append(seg)
+                else:
+                    gt_poly.append([])
         rec = {
             "image_url": os.path.join(image_dir, img["file_name"]),
             "im_id": img["id"],

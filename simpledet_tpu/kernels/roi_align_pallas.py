@@ -23,11 +23,13 @@ Forward (grid over rois, 2-deep window pipeline):
   - the kernel emits the pooled output AND a {0,1} sample mask (which
     samples attain the bin max) so the backward never re-reads features.
 
-Backward (grid over rois, two-table read-modify-write pipeline):
-  - feature gradients accumulate into TWO canvas-shaped HBM tables that
-    alternate by roi parity; roi r's read of table r%2 only conflicts
-    with roi r-2's write, which gives the DMA chain a full grid step of
-    slack instead of a serial read->write->read dependency;
+Backward (grid over rois, multi-table read-modify-write pipeline):
+  - feature gradients accumulate into `slots`=4 canvas-shaped HBM tables
+    indexed by roi index mod slots; roi r's read of table r%slots only
+    conflicts with roi (r-slots)'s write, so each write is waited on
+    slots-1 grid steps after it is issued, giving the RMW DMA chain
+    slots-1 grid steps of slack instead of a serial read->write->read
+    dependency;
   - per roi, the output cotangent is pushed through the transposed
     2-tap x-blend (28 aligned lane-slice accumulations) and one MXU dot
     ([2P, crop]^T @ [2P, crop_x*C]) while the window round-trips; the
@@ -400,8 +402,15 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
     # canvas is cast to bf16 anyway, so f32 tables only change the rounding
     # of per-window accumulation (few overlapping rois per cell) while
     # doubling the RMW DMA traffic — the dominant cost of this kernel.
+    # SIMPLEDET_ROI_GRAD_F32=1 forces f32 tables when many overlapping
+    # windows per cell (coarse levels, huge roi counts) make repeated bf16
+    # read-modify-write rounding a concern; tests/test_roi_align.py bounds
+    # the bf16-table error against f32 accumulation at flagship roi counts.
     slots = 4
-    tab_dt = dtype if dtype == jnp.bfloat16 else jnp.float32
+    import os
+    f32_tables = os.environ.get("SIMPLEDET_ROI_GRAD_F32") == "1"
+    tab_dt = (dtype if dtype == jnp.bfloat16 and not f32_tables
+              else jnp.float32)
     tabs0 = jnp.zeros((slots, b, hp, wtot * c), tab_dt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

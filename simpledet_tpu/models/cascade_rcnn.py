@@ -59,7 +59,8 @@ class CascadeRcnn(nn.Module):
 
     def extract_rois(self, pyramid, rois):
         strides = tuple(self.p_roi.stride)
-        feats = [pyramid[f"stride{s}"] for s in strides]
+        feats = [pyramid.get(f"rcnn_stride{s}", pyramid[f"stride{s}"])
+                 for s in strides]  # ReduceNeck publishes rcnn_* keys
         return batched_multilevel_roi_align(
             feats, rois, strides, out_size=self.p_roi.out_size,
             canonical_scale=self.p_roi.roi_canonical_scale or 224,

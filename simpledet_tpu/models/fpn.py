@@ -75,11 +75,11 @@ class Neck(nn.Module):
 
 
 class ReduceNeck(nn.Module):
-    """Channel-reduce conv neck (symbol/builder.py:833-861). Reduces the
-    top single-level feature and re-publishes it under every key it was
-    found at (stride16/c5/c4), so single-level RPN + RoI paths both read
-    the reduced map. Deviation from the reference, which reduces only the
-    rcnn path: one shared pyramid keeps the assembly single-featured."""
+    """Channel-reduce conv neck (symbol/builder.py:833-861). The reference
+    reduces only the rcnn feature (get_rcnn_feature) and leaves the rpn
+    feature untouched; here the reduced map is published under
+    ``rcnn_<key>`` keys, which the RoI extractors prefer, while the RPN
+    keeps reading the original ``stride16``/``c5`` keys."""
     filters: int = 256
     norm: Callable = None
     dtype: Any = jnp.float32
@@ -96,5 +96,5 @@ class ReduceNeck(nn.Module):
         out = dict(feats)
         for k in ("stride16", "c5", "c4"):
             if k in out:
-                out[k] = y
+                out[f"rcnn_{k}"] = y
         return out

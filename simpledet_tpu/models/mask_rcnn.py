@@ -69,7 +69,8 @@ class MaskFasterRcnn(FasterRcnn):
 
     def extract_mask_rois(self, pyramid, rois):
         strides = tuple(self.p_mask_roi.stride)
-        feats = [pyramid[f"stride{s}"] for s in strides]
+        feats = [pyramid.get(f"rcnn_stride{s}", pyramid[f"stride{s}"])
+                 for s in strides]  # ReduceNeck publishes rcnn_* keys
         return batched_multilevel_roi_align(
             feats, rois, strides, out_size=self.p_mask_roi.out_size,
             canonical_scale=self.p_mask_roi.roi_canonical_scale or 224,

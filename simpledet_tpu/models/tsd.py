@@ -165,7 +165,8 @@ class TSDFasterRcnn(FasterRcnn):
 
     def _extract_deform(self, pyramid, rois, bin_offset):
         strides = tuple(self.p_roi.stride)
-        feats = [pyramid[f"stride{s}"] for s in strides]
+        feats = [pyramid.get(f"rcnn_stride{s}", pyramid[f"stride{s}"])
+                 for s in strides]  # ReduceNeck publishes rcnn_* keys
         fn = lambda fs, r, bo: multilevel_roi_align(
             fs, r, strides, out_size=self.p_roi.out_size,
             canonical_scale=self.p_roi.roi_canonical_scale or 224,

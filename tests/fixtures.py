@@ -6,7 +6,8 @@ import os
 import numpy as np
 
 
-def make_micro_dataset(root, n_images=8, seed=0):
+def make_micro_dataset(root, n_images=8, seed=0,
+                       set_names=("micro_train", "micro_val")):
     """Writes jpgs + roidb pickles + a COCO annotation json under `root`.
     Returns (roidb_name, annotation_path). Images alternate orientation."""
     import cv2
@@ -69,6 +70,6 @@ def make_micro_dataset(root, n_images=8, seed=0):
     ann_path = os.path.join(root, "annotations.json")
     with open(ann_path, "w") as f:
         json.dump(ann, f)
-    save_roidb(roidb, "micro_train", cache_dir=os.path.join(root, "cache"))
-    save_roidb(roidb, "micro_val", cache_dir=os.path.join(root, "cache"))
+    for name in set_names:
+        save_roidb(roidb, name, cache_dir=os.path.join(root, "cache"))
     return roidb, ann_path

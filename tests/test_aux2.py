@@ -173,10 +173,25 @@ def test_int8_micro_config_trains():
         make_micro_dataset("/tmp/simpledet_micro", n_images=8)
         os.environ["MICRO_DATA_ROOT"] = "/tmp/simpledet_micro"
     shutil.rmtree("experiments/int8_micro_test", ignore_errors=True)
+    shutil.rmtree("experiments/micro_test", ignore_errors=True)
     from detection_train import train_net
-    state = train_net("config/int8_micro_test.py", max_iter_override=2)
+    hist_q = []
+    state = train_net("config/int8_micro_test.py", max_iter_override=4,
+                      loss_history=hist_q)
     leaves = [np.asarray(t) for t in jax.tree.leaves(state.params)]
     assert all(np.isfinite(l).all() for l in leaves)
+    # accuracy signal: the fake-quant graph's loss must TRACK the fp32
+    # graph's loss, not just stay finite — int8 is a perturbation of the
+    # same optimization problem (reference attach_quantize_node semantics)
+    hist_f = []
+    train_net("config/micro_test.py", max_iter_override=4,
+              loss_history=hist_f)
+    q = np.array([h["total_loss"] for h in hist_q])
+    f = np.array([h["total_loss"] for h in hist_f])
+    n = min(len(q), len(f))
+    assert n >= 1, (len(q), len(f))
+    rel = np.abs(q[:n] - f[:n]) / np.maximum(f[:n], 1e-6)
+    assert (rel < 0.25).all(), (q[:n].tolist(), f[:n].tolist())
 
 
 def test_convert_torchvision_resnet_maps_and_folds():
