@@ -210,8 +210,13 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
         logger.info("INT8 QAT enabled: fake-quant on conv/dense io+kernels")
 
     mesh = make_mesh(devices)
-    step_fn = make_train_step(model, mesh=mesh,
-                              remat=bool(ModelParam.memonger),
+    # memonger_until targets remat at a named backbone stage (reference
+    # detection_train.py:118-124 + utils/memonger_v2.py:171); plain
+    # memonger uses the global dots-saveable policy
+    remat = False
+    if ModelParam.memonger:
+        remat = ModelParam.memonger_until or True
+    step_fn = make_train_step(model, mesh=mesh, remat=remat,
                               quantize=quantize)
     metrics = CompositeMetric(metric_list)
     # General.detail_log switches to the data/compute-split speedometer

@@ -44,7 +44,12 @@ def make_train_step(model, mesh=None, donate=True, remat=False,
     remat=True enables gradient checkpointing on the forward pass (the TPU
     equivalent of the reference's memonger mirror planning,
     utils/memonger_v2.py): matmul/conv outputs are kept, everything else is
-    rematerialized in the backward pass.
+    rematerialized in the backward pass. remat="stageN" is the
+    memonger_until analog (reference utils/memonger_v2.py:171-226
+    make_mirror_plan_to_layer): only backbone stage exits from stageN
+    onward are saved (they carry checkpoint_name tags, models/resnet.py);
+    activations before the named stage are recomputed in the backward
+    pass, giving the largest memory saving for the batch-size sweep.
 
     quantize: None, or a dict of quantize_apply kwargs (e.g. {} for 8-bit
     defaults) — INT8 QAT, the analog of the reference's
@@ -79,10 +84,18 @@ def make_train_step(model, mesh=None, donate=True, remat=False,
                 return losses, aux, None
 
             if remat:
-                fwd = jax.checkpoint(
-                    fwd,
-                    policy=jax.checkpoint_policies
-                    .dots_with_no_batch_dims_saveable)
+                if isinstance(remat, str):
+                    # memonger_until: save only stage exits >= the named
+                    # stage (plus everything outside the remat wrapper);
+                    # earlier activations recompute in the backward pass
+                    n0 = int(remat.replace("stage", ""))
+                    names = tuple(f"stage{i}" for i in range(n0, 5))
+                    policy = jax.checkpoint_policies.save_only_these_names(
+                        *names)
+                else:
+                    policy = (jax.checkpoint_policies
+                              .dots_with_no_batch_dims_saveable)
+                fwd = jax.checkpoint(fwd, policy=policy)
             losses, aux, new_bs = fwd(params, state.batch_stats,
                                       batch["data"], batch["im_info"],
                                       batch["gt_bbox"], extra)

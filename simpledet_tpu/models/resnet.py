@@ -17,6 +17,7 @@ from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 # depth -> per-stage unit counts (reference mxnext resnet zoo)
 RESNET_UNITS = {
@@ -215,5 +216,8 @@ class ResNet(nn.Module):
             if self.variant == "v2":
                 out = norm(name=f"stage{stage + 1}_bn")(out)
                 out = nn.relu(out)
+            # tag stage exits so targeted remat policies (memonger_until,
+            # reference utils/memonger_v2.py:171-226) can name them
+            out = checkpoint_name(out, f"stage{stage + 1}")
             feats[f"c{stage + 2}"] = out
         return feats

@@ -106,15 +106,19 @@ class DetailSpeedometer(Speedometer):
 
 
 class SummaryWriter:
-    """Minimal scalar-summary writer (the reference used mxboard
-    TensorBoard summaries, doc/TENSORBOARD.md): scalars append to
-    experiments/<name>/events.jsonl, importable into any dashboard."""
+    """Scalar-summary writer (the reference used mxboard TensorBoard
+    summaries, doc/TENSORBOARD.md): scalars append both to
+    experiments/<name>/events.jsonl (grep/pandas-friendly) and to a real
+    TensorBoard events.out.tfevents.* file (utils/tb_events.py) that
+    `tensorboard --logdir experiments/<name>` loads directly."""
 
     def __init__(self, logdir):
         import os
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, "events.jsonl")
         self._f = open(self.path, "a")
+        from simpledet_tpu.utils.tb_events import TBEventWriter
+        self._tb = TBEventWriter(logdir)
 
     def add_scalar(self, tag, value, global_step=None):
         import json
@@ -123,6 +127,8 @@ class SummaryWriter:
             "tag": tag, "value": float(value), "step": global_step,
             "wall_time": time.time()}) + "\n")
         self._f.flush()
+        self._tb.add_scalar(tag, value, global_step)
 
     def close(self):
         self._f.close()
+        self._tb.close()

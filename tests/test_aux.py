@@ -89,11 +89,16 @@ def test_remat_train_step_matches(micro_data):
 
     step_plain = make_train_step(model, donate=False)
     step_remat = make_train_step(model, donate=False, remat=True)
+    # memonger_until analog: recompute everything before stage3
+    step_until = make_train_step(model, donate=False, remat="stage3")
     k = jax.random.PRNGKey(3)
     _, l1, _ = step_plain(state, batch, k)
     _, l2, _ = step_remat(state, batch, k)
+    _, l3, _ = step_until(state, batch, k)
     for key in l1:
         np.testing.assert_allclose(float(l1[key]), float(l2[key]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(l1[key]), float(l3[key]),
                                    rtol=1e-4, atol=1e-5)
 
 
@@ -143,3 +148,30 @@ def test_auto_resume(micro_data):
     train_net(cfg_path, max_iter_override=1, auto_resume=True)
     after = get_latest_ckpt_epoch("experiments/micro_resume/checkpoint")
     assert after == 2
+
+
+def test_tb_event_writer(tmp_path):
+    """SummaryWriter emits a real TensorBoard event file (reference mxboard
+    parity, reference doc/TENSORBOARD.md:10-28): verify the hand-rolled
+    protobuf/TFRecord bytes load through the official tensorboard reader."""
+    from simpledet_tpu.utils.logger import SummaryWriter
+
+    logdir = str(tmp_path / "tb")
+    w = SummaryWriter(logdir)
+    w.add_scalar("train/rpn_cls_loss", 0.25, global_step=1)
+    w.add_scalar("train/rpn_cls_loss", 0.125, global_step=2)
+    w.add_scalar("lr", 0.02, global_step=2)
+    w.close()
+
+    files = [f for f in os.listdir(logdir) if "tfevents" in f]
+    assert len(files) == 1
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    acc = EventAccumulator(logdir)
+    acc.Reload()
+    tags = acc.Tags()["scalars"]
+    assert set(tags) == {"train/rpn_cls_loss", "lr"}
+    evs = acc.Scalars("train/rpn_cls_loss")
+    assert [(e.step, e.value) for e in evs] == [(1, 0.25), (2, 0.125)]
+    assert acc.Scalars("lr")[0].value == pytest.approx(0.02)
