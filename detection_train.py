@@ -85,6 +85,14 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
                                shuffle=False, num_workers=0, keys=keys)))
     extra0 = {k: jnp.asarray(v) for k, v in sample0.items()
               if k not in ("data", "im_info", "gt_bbox", "valid")}
+    # deferred Norm2DImage: loader batches are uint8; init/teacher inputs
+    # are normalized here, training batches inside the jitted step
+    from simpledet_tpu.ops.image import device_normalize, find_pixel_norm
+    pixel_norm = find_pixel_norm(transform)
+    if pixel_norm is not None:
+        sample0["data"] = device_normalize(
+            jnp.asarray(sample0["data"]), jnp.asarray(sample0["im_info"]),
+            *pixel_norm)
 
     # KD: frozen teacher producing the teacher_label input per batch
     # (reference detection_train.py:172-184 + models/KD/detection_module.py:48)
@@ -217,7 +225,7 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
     if ModelParam.memonger:
         remat = ModelParam.memonger_until or True
     step_fn = make_train_step(model, mesh=mesh, remat=remat,
-                              quantize=quantize)
+                              quantize=quantize, pixel_norm=pixel_norm)
     metrics = CompositeMetric(metric_list)
     # General.detail_log switches to the data/compute-split speedometer
     # (reference utils/callback.py:40 DetailSpeedometer)
@@ -271,7 +279,11 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
             return None
         batch.pop("valid", None)
         if teacher_fn is not None:
-            batch["teacher_label"] = teacher_fn(jnp.asarray(batch["data"]))
+            tdata = jnp.asarray(batch["data"])
+            if pixel_norm is not None:
+                tdata = device_normalize(tdata, jnp.asarray(batch["im_info"]),
+                                         *pixel_norm)
+            batch["teacher_label"] = teacher_fn(tdata)
         return shard_batch(batch, mesh)
 
     for epoch in range(begin_epoch, end_epoch):

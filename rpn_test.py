@@ -82,8 +82,13 @@ def rpn_test_net(config_path, max_images=None):
         return {"params": p, "batch_stats": batch_stats} if batch_stats \
             else {"params": p}
 
-    fwd = jax.jit(lambda p, d, ii: model.apply(_vars(p), d, ii,
-                                               mode="rpn_test"))
+    from simpledet_tpu.ops.image import device_normalize, find_pixel_norm
+    _pn = find_pixel_norm(transform)
+    def _fwd(p, d, ii):
+        if _pn is not None:
+            d = device_normalize(d, ii, *_pn)
+        return model.apply(_vars(p), d, ii, mode="rpn_test")
+    fwd = jax.jit(_fwd)
     loader = Loader(roidb, transform, 1, shuffle=False, num_workers=4,
                     keys=("data", "im_info", "im_id"), pad_last=False,
                     aspect_grouping=True)

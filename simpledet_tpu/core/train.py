@@ -34,12 +34,16 @@ def create_train_state(rng, model, example_batch, tx):
 
 
 def make_train_step(model, mesh=None, donate=True, remat=False,
-                    quantize=None):
+                    quantize=None, pixel_norm=None):
     """Returns step(state, batch, rng) -> (state, losses, aux).
 
     batch: dict with data [B,H,W,3], im_info [B,3], gt_bbox [B,G,5]; sharded
     over the mesh 'data' axis. Loss is averaged over the global batch, so
     gradients match the reference's rescale_grad=1/(ndev*nworker) semantics.
+
+    pixel_norm: optional (mean, std) from a deferred Norm2DImage — uint8
+    batches are normalized on-device at the top of the step (fused by XLA,
+    ops/image.py); float batches pass through unchanged.
 
     remat=True enables gradient checkpointing on the forward pass (the TPU
     equivalent of the reference's memonger mirror planning,
@@ -63,6 +67,11 @@ def make_train_step(model, mesh=None, donate=True, remat=False,
 
     def step(state, batch, rng):
         has_bs = state.batch_stats is not None  # static at trace time
+        if pixel_norm is not None:
+            from simpledet_tpu.ops.image import device_normalize
+            batch = dict(batch)
+            batch["data"] = device_normalize(batch["data"], batch["im_info"],
+                                             *pixel_norm)
 
         def loss_fn(params):
             extra = {k: v for k, v in batch.items()

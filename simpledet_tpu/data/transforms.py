@@ -33,7 +33,11 @@ class ReadRoiRecord(DetectionAugmentation):
         img = cv2.imread(r["image_url"], cv2.IMREAD_COLOR)
         if img is None:
             raise IOError(f"cannot read {r['image_url']}")
-        r["image"] = img[:, :, ::-1].astype(np.float32)
+        # stay uint8: Norm2DImage defers the float conversion to the device
+        # by default, and every transform below is dtype-preserving. SIMD
+        # cvtColor instead of a negative-stride ::-1 view keeps downstream
+        # cv2/np ops on contiguous memory.
+        r["image"] = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         r["gt_bbox"] = np.asarray(r.get("gt_bbox", []),
                                   np.float32).reshape(-1, 4)
         r["gt_class"] = np.asarray(r.get("gt_class", []),
@@ -42,12 +46,33 @@ class ReadRoiRecord(DetectionAugmentation):
 
 
 class Norm2DImage(DetectionAugmentation):
-    def __init__(self, pNorm):
+    """Pixel normalization (core/detection_input.py:48-66).
+
+    By default this is DEFERRED: the host pipeline keeps uint8 pixels (4x
+    smaller collation + H2D) and the CLIs fuse (x - mean) / std into the
+    jitted step via ops/image.py::device_normalize — see that module for
+    the semantics argument. Set SIMPLEDET_HOST_NORM=1 (or host=True) to
+    normalize on the host like the reference; that path is also taken
+    automatically when the image is already float (custom chains).
+    """
+
+    def __init__(self, pNorm, host=None):
+        import os
         self.mean = np.asarray(pNorm.mean, np.float32)
         self.std = np.asarray(pNorm.std, np.float32)
+        if host is None:
+            host = os.environ.get("SIMPLEDET_HOST_NORM") == "1"
+        self.deferred = not host
 
     def apply(self, r):
-        r["image"] = (r["image"] - self.mean) / self.std
+        img = r["image"]
+        if self.deferred and img.dtype == np.uint8:
+            return r  # device_normalize handles it inside the step
+        img = np.asarray(img, np.float32)
+        np.subtract(img, self.mean, out=img)
+        if not np.all(self.std == 1.0):
+            np.divide(img, self.std, out=img)
+        r["image"] = img
         return r
 
 

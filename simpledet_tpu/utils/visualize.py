@@ -11,8 +11,12 @@ import numpy as np
 
 
 def _to_u8(img, mean=None, std=None):
-    """Undo Norm2DImage if stats are given; clamp to displayable u8."""
-    img = np.asarray(img, np.float32)
+    """Undo Norm2DImage if stats are given; clamp to displayable u8.
+    uint8 batches (deferred normalization) are already displayable."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    img = img.astype(np.float32)
     if std is not None:
         img = img * np.asarray(std, np.float32)
     if mean is not None:

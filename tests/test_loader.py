@@ -71,3 +71,65 @@ def test_pad_last_false_emits_valid_mask():
                     num_workers=0, keys=("data",), pad_last=False)
     batches = list(loader)
     assert batches[-1]["valid"].tolist() == [True, False]
+
+
+def test_deferred_norm_uint8_chain_and_device_parity():
+    """Norm2DImage defers by default: the host chain stays uint8 through
+    Resize/Flip/Pad, and ops/image.py::device_normalize reproduces the
+    host (x - mean) / std exactly on the valid region while re-zeroing the
+    padded border (the reference pads AFTER normalizing, so padding is 0
+    in normalized space — core/detection_input.py:285-315)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from simpledet_tpu.data.transforms import (Flip2DImageBbox, Norm2DImage,
+                                               Pad2DImageBbox,
+                                               Resize2DImageBbox,
+                                               apply_transforms)
+    from simpledet_tpu.ops.image import device_normalize, find_pixel_norm
+
+    class NormP:
+        mean = (122.7717, 115.9465, 102.9801)
+        std = (1.0, 1.0, 1.0)
+
+    class ResizeP:
+        short, long = 32, 52
+
+    class PadP:
+        short, long, max_num_gt = 32, 52, 4
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (40, 60, 3), np.uint8)
+    rec = {"image": img.copy(), "flipped": True,
+           "gt_bbox": np.array([[5, 5, 30, 30]], np.float32),
+           "gt_class": np.array([1], np.float32)}
+    chain = [Norm2DImage(NormP), Resize2DImageBbox(ResizeP),
+             Flip2DImageBbox(), Pad2DImageBbox(PadP)]
+    assert find_pixel_norm(chain) is not None
+    rec = apply_transforms(rec, chain)
+    assert rec["image"].dtype == np.uint8  # stayed uint8 end-to-end
+
+    batch = rec["image"][None]
+    im_info = rec["im_info"][None]
+    out = np.asarray(device_normalize(jnp.asarray(batch),
+                                      jnp.asarray(im_info),
+                                      NormP.mean, NormP.std))
+    h, w = int(im_info[0, 0]), int(im_info[0, 1])
+    expect = (batch[0, :h, :w].astype(np.float32)
+              - np.asarray(NormP.mean, np.float32))
+    np.testing.assert_allclose(out[0, :h, :w], expect, atol=1e-5)
+    assert np.all(out[0, h:] == 0) and np.all(out[0, :, w:] == 0)
+
+    # float passthrough: already-normalized data is returned unchanged
+    f = jnp.asarray(rng.randn(1, 8, 8, 3), jnp.float32)
+    assert device_normalize(f, jnp.asarray([[8, 8, 1.0]]),
+                            NormP.mean, NormP.std) is f
+
+    # host fallback: host=True normalizes eagerly like the reference
+    rec2 = {"image": img.copy(), "flipped": False,
+            "gt_bbox": np.zeros((0, 4), np.float32),
+            "gt_class": np.zeros((0,), np.float32)}
+    host_chain = [Norm2DImage(NormP, host=True), Resize2DImageBbox(ResizeP)]
+    assert find_pixel_norm(host_chain) is None
+    rec2 = apply_transforms(rec2, host_chain)
+    assert rec2["image"].dtype == np.float32
