@@ -95,7 +95,5 @@ def nms_keep_sorted_pallas(sorted_boxes, sorted_valid, thr,
 
 
 def pallas_available():
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from simpledet_tpu.utils.platform import is_tpu
+    return is_tpu()

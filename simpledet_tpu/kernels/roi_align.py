@@ -210,13 +210,8 @@ def _default_impl(feats, strides, out_size, canonical_scale,
     """Pick the RoIAlign impl at trace time: the pallas window kernel on
     TPU when its (static) VMEM scratch fits, else the gather formulation.
     """
-    import jax
-
-    try:
-        devs = jax.devices()
-    except Exception:
-        return "gather"
-    if not devs or "tpu" not in devs[0].device_kind.lower():
+    from simpledet_tpu.utils.platform import is_tpu
+    if not is_tpu():
         return "gather"
     try:
         from simpledet_tpu.kernels import roi_align_pallas as rap

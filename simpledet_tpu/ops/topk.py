@@ -19,9 +19,7 @@ def fast_top_k(x, k, recall_target=0.98):
     """x [..., N] -> (values [..., k], indices [..., k])."""
     if k >= x.shape[-1]:
         return jax.lax.top_k(x, k)
-    try:
-        if jax.devices()[0].platform == "tpu":
-            return jax.lax.approx_max_k(x, k, recall_target=recall_target)
-    except Exception:  # pragma: no cover
-        pass
+    from simpledet_tpu.utils.platform import is_tpu
+    if is_tpu():
+        return jax.lax.approx_max_k(x, k, recall_target=recall_target)
     return jax.lax.top_k(x, k)
