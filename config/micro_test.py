@@ -3,7 +3,17 @@ counts, 4 classes. Same schema as the real configs."""
 import os
 
 from symbol.builder import FasterRcnn as Detector
-from models.FPN.builder import MSRAResNet50V1FPN as Backbone
+import os as _os
+
+# SIMPLEDET_MICRO_BACKBONE swaps the backbone variant (v1/v1b/v1d) so the
+# resnet_v1b config group's distinctive code paths (3x3-stride bottleneck,
+# deep stem, avg-pool shortcut) get a real train-step test via this config
+if _os.environ.get("SIMPLEDET_MICRO_BACKBONE", "v1") == "v1":
+    from models.FPN.builder import MSRAResNet50V1FPN as Backbone
+else:
+    from simpledet_tpu.dsl import ResNet50V1bFPN, ResNet50V1dFPN
+    Backbone = {"v1b": ResNet50V1bFPN, "v1d": ResNet50V1dFPN}[
+        _os.environ["SIMPLEDET_MICRO_BACKBONE"]]
 from models.FPN.builder import FPNNeck as Neck
 from models.FPN.builder import FPNRpnHead as RpnHead
 from models.FPN.builder import FPNRoiAlign as RoiExtractor

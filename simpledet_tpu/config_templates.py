@@ -18,7 +18,7 @@ Hyperparameters mirror the reference experiment files of the same names.
 def faster_fpn_config(is_train, name, *, depth=50, variant="v1",
                       fp16=False, schedule_mult=1, backbone=None, neck=None,
                       rpn_head=None, bbox_head=None, detector=None,
-                      num_class=81, neck_attrs=None):
+                      num_class=81, neck_attrs=None, norm_type="fixbn"):
     from mxnext.complicate import normalizer_factory
 
     class General:
@@ -36,7 +36,8 @@ def faster_fpn_config(is_train, name, *, depth=50, variant="v1",
         fp16 = General.fp16
 
     class NormalizeParam:
-        normalizer = normalizer_factory(type="fixbn")
+        normalizer = normalizer_factory(type=norm_type,
+                                        ndev=len(KvstoreParam.gpus))
 
     class BackboneParam:
         fp16 = General.fp16
