@@ -38,8 +38,13 @@ def make_synth_coco(root, n_images=48, seed=0):
             bw, bh = rng.randint(60, 400), rng.randint(60, 400)
             x1 = rng.randint(0, w - bw)
             y1 = rng.randint(0, h - bh)
+            # class is a deterministic function of color (like the micro
+            # fixture, tests/fixtures.py:34-36) so the classification loss
+            # CAN descend — with random colors bbox_cls plateaus at the
+            # class prior and the curve proves nothing about learning
             cls = int(rng.randint(1, 81))
-            color = tuple(int(c) for c in rng.randint(80, 255, 3))
+            color = ((37 * cls) % 200 + 55, (91 * cls) % 200 + 55,
+                     (151 * cls) % 200 + 55)
             cv2.rectangle(img, (x1, y1), (x1 + bw, y1 + bh), color, -1)
             boxes.append([x1, y1, x1 + bw - 1, y1 + bh - 1])
             classes.append(cls)
