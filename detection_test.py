@@ -101,6 +101,21 @@ def test_net(config_path, max_images=None):
         max_det=TestParam.max_det_per_image or 100,
         nms_type=nms_type, **k)
 
+    # Single-pass eval fuses the per-class NMS into the jitted forward:
+    # ONE dispatch per batch instead of eagerly dispatching the NMS
+    # fixpoint loop primitive-by-primitive (each eager op is a host
+    # round-trip over the TPU tunnel; this was ~25 s/batch of pure
+    # dispatch latency). The aggregate (multi-scale/flip) path keeps raw
+    # outputs and runs a separately jitted NMS once per image.
+    def _fwd_post(p, d, ii):
+        out = _fwd(p, d, ii)
+        if nms_type == "setnms" and "set_index" in out:
+            return jax.vmap(lambda s, b, si: post(s, b, set_index=si))(
+                out["cls_score"], out["bbox_xyxy"], out["set_index"])
+        return jax.vmap(post)(out["cls_score"], out["bbox_xyxy"])
+    fwd_post = jax.jit(_fwd_post)
+    post_jit = jax.jit(lambda s, b: post(s, b))
+
     # multi-scale / flip test-time aggregation (reference
     # detection_test.py:197-218): raw per-class outputs from every
     # (scale, flip) pass are concatenated per image in ORIGINAL coordinates
@@ -143,6 +158,8 @@ def test_net(config_path, max_images=None):
     detections = []
     t0 = time.time()
     n_done = 0
+    seen_sig = set()                     # steady-state rate excludes the
+    steady_s, steady_n = 0.0, 0          # first call per compiled shape
     for tf, flipped in passes():
         loader = Loader(roidb, tf, eval_batch, shuffle=False, num_workers=4,
                         keys=("data", "im_info", "im_id"), pad_last=False,
@@ -151,11 +168,17 @@ def test_net(config_path, max_images=None):
             data = np.asarray(batch["data"])
             if flipped:
                 data = data[:, :, ::-1]
-            out = fwd(params, jnp.asarray(data),
-                      jnp.asarray(batch["im_info"]))
+            sig = data.shape
+            tb = time.time()
             if aggregate:
+                out = fwd(params, jnp.asarray(data),
+                          jnp.asarray(batch["im_info"]))
                 score_np = np.asarray(out["cls_score"])
                 boxes_np = np.asarray(out["bbox_xyxy"])
+                if sig in seen_sig:
+                    steady_s += time.time() - tb
+                    steady_n += int(np.asarray(batch["valid"]).sum())
+                seen_sig.add(sig)
                 for b in range(len(batch["im_id"])):
                     if not batch["valid"][b]:
                         continue
@@ -171,17 +194,16 @@ def test_net(config_path, max_images=None):
                     raw.setdefault(int(batch["im_id"][b]), []).append(
                         (score_np[b], bx / s))
                 continue
-            if nms_type == "setnms" and "set_index" in out:
-                boxes, scores, classes, valid = jax.vmap(
-                    lambda s, b, si: post(s, b, set_index=si))(
-                    out["cls_score"], out["bbox_xyxy"], out["set_index"])
-            else:
-                boxes, scores, classes, valid = jax.vmap(post)(
-                    out["cls_score"], out["bbox_xyxy"])
+            boxes, scores, classes, valid = fwd_post(
+                params, jnp.asarray(data), jnp.asarray(batch["im_info"]))
             boxes = np.asarray(boxes)
             scores = np.asarray(scores)
             classes = np.asarray(classes)
             valid = np.asarray(valid)
+            if sig in seen_sig:
+                steady_s += time.time() - tb
+                steady_n += int(np.asarray(batch["valid"]).sum())
+            seen_sig.add(sig)
             bvalid = np.asarray(batch["valid"])
             im_ids = np.asarray(batch["im_id"]).astype(np.int64)
             scale = np.asarray(batch["im_info"])[:, 2]
@@ -203,7 +225,7 @@ def test_net(config_path, max_images=None):
         for im_id, parts in raw.items():
             score = jnp.asarray(np.concatenate([p[0] for p in parts], 0))
             bx = jnp.asarray(np.concatenate([p[1] for p in parts], 0))
-            boxes, scores, classes, valid = post(score, bx)
+            boxes, scores, classes, valid = post_jit(score, bx)
             boxes, scores = np.asarray(boxes), np.asarray(scores)
             classes, valid = np.asarray(classes), np.asarray(valid)
             for j in range(len(valid)):
@@ -220,6 +242,10 @@ def test_net(config_path, max_images=None):
             n_done += 1
     logger.info(f"inference done: {n_done} images in {time.time()-t0:.1f}s "
                 f"({n_done / max(time.time()-t0, 1e-9):.2f} img/s)")
+    if steady_n:
+        logger.info(f"steady-state (excl. first batch per compiled shape): "
+                    f"{steady_n} images in {steady_s:.1f}s "
+                    f"({steady_n / max(steady_s, 1e-9):.2f} img/s)")
 
     detections = TestParam.process_output(detections, None)
     result_json = os.path.join(exp_dir, DatasetParam.image_set[0]
