@@ -15,6 +15,10 @@ def main():
     ap.add_argument("--shape", nargs=2, type=int, default=[800, 1333])
     ap.add_argument("--count", type=int, default=50)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--include-nms", action="store_true",
+                    help="fuse per-class NMS into the timed graph (the "
+                         "reference harness times the raw test graph only; "
+                         "detection_test.py runs this fused form)")
     args = ap.parse_args()
 
     import jax
@@ -38,11 +42,25 @@ def main():
     params = model.init({"params": jax.random.PRNGKey(0),
                          "sampling": jax.random.PRNGKey(1)},
                         data, im_info, mode="test")["params"]
-    fwd = jax.jit(lambda p, d, i: model.apply({"params": p}, d, i,
-                                              mode="test"))
+    if args.include_nms:
+        from simpledet_tpu.eval.postprocess import per_class_nms
+
+        def _fwd(p, d, i):
+            out = model.apply({"params": p}, d, i, mode="test")
+            return jax.vmap(lambda s, bx: per_class_nms(
+                s, bx, score_thr=TestParam.min_det_score or 0.05,
+                nms_thr=TestParam.nms.thr or 0.5,
+                max_det=TestParam.max_det_per_image or 100))(
+                out["cls_score"], out["bbox_xyxy"])[1]   # scores
+        fwd = jax.jit(_fwd)
+        probe = lambda o: o
+    else:
+        fwd = jax.jit(lambda p, d, i: model.apply({"params": p}, d, i,
+                                                  mode="test"))
+        probe = lambda o: o["roi_score"]
 
     out = fwd(params, data, im_info)
-    jax.device_get(out["roi_score"])
+    jax.device_get(probe(out))
 
     # chain iterations through a scalar so pipelining is kept but no
     # iteration can be skipped (axon block_until_ready is unreliable)
@@ -50,12 +68,13 @@ def main():
     t0 = time.time()
     for _ in range(args.count):
         out = fwd(params, data, im_info)
-        acc = acc + out["roi_score"].sum()
+        acc = acc + probe(out).sum()
     float(acc)
     dt = time.time() - t0
     n_img = args.count * b
     print(f"{dt / n_img * 1000:.2f} ms per image "
-          f"({n_img / dt:.2f} img/s) at {h}x{w}, batch {b}")
+          f"({n_img / dt:.2f} img/s) at {h}x{w}, batch {b}"
+          f"{' (incl. per-class NMS)' if args.include_nms else ''}")
 
 
 if __name__ == "__main__":
