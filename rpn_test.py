@@ -78,6 +78,11 @@ def rpn_test_net(config_path, max_images=None):
     else:
         logger.info("WARNING: no checkpoint found, using random params")
 
+    # pin checkpoint-restored host numpy on device once (see detection_test)
+    params = jax.device_put(params)
+    if batch_stats is not None:
+        batch_stats = jax.device_put(batch_stats)
+
     def _vars(p):
         return {"params": p, "batch_stats": batch_stats} if batch_stats \
             else {"params": p}

@@ -164,6 +164,10 @@ def make_teacher_fn(teacher_backbone_module, teacher_params, stage="c4"):
     Replaces the reference's per-batch teacher DetModule forward
     (models/KD/detection_module.py:88-150, wired in detection_train.py:172-181).
     """
+    # checkpoint-restored leaves are host numpy; without an explicit
+    # device_put every per-batch teacher call re-uploads the whole tree
+    # (the TPU tunnel moves ~50 MB/s — seconds per step for a big teacher)
+    teacher_params = jax.device_put(teacher_params)
 
     @jax.jit
     def teacher_fn(data):
