@@ -18,6 +18,10 @@ def enable_compilation_cache(default_dir=None):
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if os.environ.get("SIMPLEDET_CACHE_DEBUG"):
+            # log WHY a lookup missed (writes to warnings); invaluable over
+            # the TPU tunnel where each miss costs minutes of recompile
+            jax.config.update("jax_explain_cache_misses", True)
     except Exception:  # best effort — cache is an optimization only
         pass
     return cache_dir

@@ -11,7 +11,7 @@ import time
 import numpy as np
 
 
-def run(cfg_path, batch):
+def run(cfg_path, batch, hw=(800, 1333)):
     import jax
     import jax.numpy as jnp
 
@@ -24,7 +24,7 @@ def run(cfg_path, batch):
     cfg = load_config(cfg_path)
     out = cfg.get_config(is_train=True)
     model = out[6].train_symbol
-    h, w = 800, 1333
+    h, w = hw
     rng = np.random.RandomState(0)
     gt = np.full((batch, 100, 5), -1, np.float32)
     for bb in range(batch):
@@ -58,7 +58,7 @@ def run(cfg_path, batch):
         state, losses, _ = step(state, b, jax.random.fold_in(key, 99 + i))
     jax.device_get(losses)
     dt = time.time() - t0
-    print(json.dumps({"config": cfg_path, "batch": batch,
+    print(json.dumps({"config": cfg_path, "batch": batch, "h": h, "w": w,
                       "img_per_sec": round(batch * n / dt, 2),
                       "ms_per_iter": round(1000 * dt / n, 1)}), flush=True)
 
@@ -68,6 +68,8 @@ if __name__ == "__main__":
         ["config/faster_r50v1_fpn_bf16_1x.py"]
     batches = [int(a.split("=")[1]) for a in sys.argv
                if a.startswith("b=")] or [4, 8]
+    hw = next((tuple(int(v) for v in a.split("=")[1].split(","))
+               for a in sys.argv if a.startswith("hw=")), (800, 1333))
     for c in cfgs:
         for bt in batches:
-            run(c, bt)
+            run(c, bt, hw)
