@@ -224,12 +224,13 @@ def _default_impl(feats, strides, out_size, canonical_scale,
         return "gather"
     cw = crop + 8
     c = feats[0].shape[-1]
-    p = out_size
-    # backward kernel is the VMEM high-water mark: two f32 window slots +
-    # the f32 dtmp scratch + double-buffered (g, mask, wy) blocks
-    vmem = (2 * cw * cw * c * 4 + 2 * p * cw * c * 4
-            + 2 * (p * p * c * 4 + 4 * p * p * c * 2 + 2 * p * cw * 4))
-    return "pallas" if vmem < 10 * 2 ** 20 else "gather"
+    # backward kernel is the VMEM high-water mark; use the calibrated
+    # Mosaic stack model (fixed temporaries + >=2 gradient tables under
+    # the 16 MB scoped limit — roi_align_pallas.bwd_vmem_fits). Table
+    # dtype matches the feature dtype's bwd accumulate (bf16 or f32).
+    import jax.numpy as jnp
+    tab_bytes = 2 if feats[0].dtype == jnp.bfloat16 else 4
+    return "pallas" if rap.bwd_vmem_fits(cw, c, tab_bytes) else "gather"
 
 
 def batched_multilevel_roi_align(feats, rois, strides, *, out_size,

@@ -24,8 +24,10 @@ Forward (grid over rois, 2-deep window pipeline):
     samples attain the bin max) so the backward never re-reads features.
 
 Backward (grid over rois, multi-table read-modify-write pipeline):
-  - feature gradients accumulate into `slots`=4 canvas-shaped HBM tables
-    indexed by roi index mod slots; roi r's read of table r%slots only
+  - feature gradients accumulate into `slots` canvas-shaped HBM tables
+    (4 when VMEM allows, fewer under the scoped-VMEM budget — see the
+    slot selection in _bwd) indexed by roi index mod slots; roi r's
+    read of table r%slots only
     conflicts with roi (r-slots)'s write, so each write is waited on
     slots-1 grid steps after it is issued, giving the RMW DMA chain
     slots-1 grid steps of slack instead of a serial read->write->read
@@ -52,6 +54,18 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 from simpledet_tpu.targets.fpn_assign import fpn_roi_level
+
+# Mosaic scoped-VMEM stack model for the backward kernel (see _bwd):
+# fixed slot-independent temporaries + `slots` window tables must stay
+# under the 16 MB scoped limit with headroom.
+_BWD_FIXED_VMEM = int(9.8 * 2 ** 20)
+_VMEM_BUDGET = int(14.2 * 2 ** 20)
+
+
+def bwd_vmem_fits(cw, c, tab_bytes, min_slots=2):
+    """Can the backward run with at least `min_slots` gradient tables?"""
+    return (_BWD_FIXED_VMEM + min_slots * cw * cw * c * tab_bytes
+            <= _VMEM_BUDGET)
 
 
 def _auto_crop(feats, strides, canonical_scale, canonical_level, p):
@@ -406,11 +420,25 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
     # windows per cell (coarse levels, huge roi counts) make repeated bf16
     # read-modify-write rounding a concern; tests/test_roi_align.py bounds
     # the bf16-table error against f32 accumulation at flagship roi counts.
-    slots = 4
     import os
     f32_tables = os.environ.get("SIMPLEDET_ROI_GRAD_F32") == "1"
     tab_dt = (dtype if dtype == jnp.bfloat16 and not f32_tables
               else jnp.float32)
+    # VMEM stack budget: Mosaic stacks ~9.8 MB of slot-independent kernel
+    # temporaries (dtmp, the [cw, cw*c] dot output + f32 casts, pipelined
+    # (g, mask, wy) blocks, scalar prefetch) on top of the `slots` window
+    # tables — calibrated from the compiler's own accounting at flagship
+    # shapes: 4 f32 tables (6.55 MB) reported 16.27 MB total, right AT the
+    # 16 MB scoped-vmem limit (batch 2 fit by <300 KB; batch 4's larger
+    # scalar-prefetch arrays tipped it into a stack overflow). Pick the
+    # deepest RMW pipeline that keeps total under ~14.2 MB: bf16 tables
+    # keep slots=4, f32 drop to 2. SIMPLEDET_ROI_BWD_SLOTS overrides.
+    t_bytes = cw * cw * c * (2 if tab_dt == jnp.bfloat16 else 4)
+    slots = int(os.environ.get("SIMPLEDET_ROI_BWD_SLOTS", "0"))
+    if not slots:
+        slots = 4
+        while slots > 2 and _BWD_FIXED_VMEM + slots * t_bytes > _VMEM_BUDGET:
+            slots -= 1
     tabs0 = jnp.zeros((slots, b, hp, wtot * c), tab_dt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
