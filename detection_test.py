@@ -176,7 +176,8 @@ def test_net(config_path, max_images=None):
         nonlocal compile_between
         data = np.asarray(batch["data"])
         if flipped:
-            data = data[:, :, ::-1]
+            from simpledet_tpu.ops.image import flip_valid_region
+            data = flip_valid_region(data, np.asarray(batch["im_info"]))
         if data.shape not in seen_sig:
             seen_sig.add(data.shape)
             compile_between = True

@@ -18,6 +18,18 @@ except ImportError:  # pragma: no cover
 
 
 class DetectionAugmentation:
+    """Base class for record transforms (core/detection_input.py:14-20).
+
+    dtype contract: with the default deferred Norm2DImage, ``r['image']``
+    stays **uint8** through the whole chain (float conversion happens on
+    device, ops/image.py::device_normalize). Every in-repo transform is
+    dtype-preserving. A custom transform doing float arithmetic on the
+    pixels (e.g. brightness jitter) must convert first —
+    ``img.astype(np.float32)`` — or its math wraps around in uint8; once
+    the image is float, Norm2DImage automatically falls back to host
+    normalization, so converting is always safe.
+    """
+
     def apply(self, record):
         raise NotImplementedError
 

@@ -227,9 +227,15 @@ def _default_impl(feats, strides, out_size, canonical_scale,
     # backward kernel is the VMEM high-water mark; use the calibrated
     # Mosaic stack model (fixed temporaries + >=2 gradient tables under
     # the 16 MB scoped limit — roi_align_pallas.bwd_vmem_fits). Table
-    # dtype matches the feature dtype's bwd accumulate (bf16 or f32).
+    # dtype matches what _bwd will actually allocate: bf16 features use
+    # bf16 tables UNLESS SIMPLEDET_ROI_GRAD_F32=1 forces f32 accumulation
+    # (roi_align_pallas.py _bwd tab_dt) — sizing with the wrong dtype here
+    # could pick pallas and then fail Mosaic scoped-VMEM compilation.
+    import os
     import jax.numpy as jnp
-    tab_bytes = 2 if feats[0].dtype == jnp.bfloat16 else 4
+    f32_tables = os.environ.get("SIMPLEDET_ROI_GRAD_F32") == "1"
+    tab_bytes = 2 if (feats[0].dtype == jnp.bfloat16 and not f32_tables) \
+        else 4
     return "pallas" if rap.bwd_vmem_fits(cw, c, tab_bytes) else "gather"
 
 

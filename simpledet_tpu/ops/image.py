@@ -34,6 +34,30 @@ def device_normalize(data, im_info, mean, std):
     return jnp.where(mask[..., None], x, 0.0)
 
 
+def flip_valid_region(data, im_info):
+    """Horizontally mirror each image's VALID region in place-of-copy.
+
+    data: [B,H,W,3] numpy (uint8 or float), top-left-aligned content in a
+    padded canvas; im_info: [B,3] = (h', w', scale).
+
+    Flip-TTA must mirror only rows < h' and cols < w' so content stays
+    top-left-aligned with im_info: device_normalize masks cols >= w'
+    assuming top-left content, and the test CLI's un-flip box math is
+    x -> w'-1-x within the valid region. Mirroring the whole canvas would
+    right-align content — zeroing real pixels under the normalize mask and
+    shifting coordinates by (canvas_W - w') whenever the canvas is wider
+    than the resized image (reference flips unpadded images, so it never
+    faced this: detection_test.py TTA + core/detection_input.py:184-206).
+    """
+    import numpy as np
+    data = np.array(data)
+    for b in range(data.shape[0]):
+        h2 = int(round(float(im_info[b, 0])))
+        w2 = int(round(float(im_info[b, 1])))
+        data[b, :h2, :w2] = data[b, :h2, :w2][:, ::-1]
+    return data
+
+
 def find_pixel_norm(transforms):
     """Scan a config's transform chain for the (deferred) Norm2DImage and
     return (mean, std), or None if the chain normalizes on the host."""

@@ -166,6 +166,7 @@ def test_tb_event_writer(tmp_path):
     files = [f for f in os.listdir(logdir) if "tfevents" in f]
     assert len(files) == 1
 
+    pytest.importorskip("tensorboard")
     from tensorboard.backend.event_processing.event_accumulator import (
         EventAccumulator)
     acc = EventAccumulator(logdir)

@@ -90,7 +90,7 @@ def test_deferred_norm_uint8_chain_and_device_parity():
 
     class NormP:
         mean = (122.7717, 115.9465, 102.9801)
-        std = (1.0, 1.0, 1.0)
+        std = (58.395, 57.12, 57.375)   # non-unit: exercises the divide path
 
     class ResizeP:
         short, long = 32, 52
@@ -115,8 +115,9 @@ def test_deferred_norm_uint8_chain_and_device_parity():
                                       jnp.asarray(im_info),
                                       NormP.mean, NormP.std))
     h, w = int(im_info[0, 0]), int(im_info[0, 1])
-    expect = (batch[0, :h, :w].astype(np.float32)
-              - np.asarray(NormP.mean, np.float32))
+    expect = ((batch[0, :h, :w].astype(np.float32)
+               - np.asarray(NormP.mean, np.float32))
+              / np.asarray(NormP.std, np.float32))
     np.testing.assert_allclose(out[0, :h, :w], expect, atol=1e-5)
     assert np.all(out[0, h:] == 0) and np.all(out[0, :, w:] == 0)
 
