@@ -80,13 +80,34 @@ def test_net(config_path, max_images=None):
     else:
         logger.info("WARNING: no checkpoint found, using random params")
 
+    # Mesh-sharded eval (reference runs one DetModule per GPU + worker
+    # threads, /root/reference/detection_test.py:133-153; here ONE jitted
+    # forward sharded over the device mesh — params replicated, batch
+    # split along the data axis; the test graph is purely per-image so no
+    # collectives are inserted and per-image detections are bit-identical
+    # to the single-device path). SIMPLEDET_EVAL_DEVICES=N caps the mesh
+    # (N=1 recovers single-device eval; the CPU-mesh parity test uses it).
+    n_dev = len(jax.devices())
+    cap = os.environ.get("SIMPLEDET_EVAL_DEVICES")
+    if cap:
+        n_dev = max(1, min(n_dev, int(cap)))
+    mesh = None
+    if n_dev > 1:
+        from simpledet_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                                 replicated)
+        mesh = make_mesh(jax.devices()[:n_dev])
+        batch_sharding = data_sharding(mesh)
+        logger.info(f"eval sharded over {n_dev} devices")
+
     # checkpoint leaves restore as host numpy; pin them on device once or
     # every forward re-uploads the full param tree through the TPU tunnel
     # (~50 MB/s: 3.3 s/batch for the 167 MB flagship — measured 0.87 ->
     # ~10 img/s steady-state at batch 4)
-    params = jax.device_put(params)
+    params = jax.device_put(params, replicated(mesh)) if mesh \
+        else jax.device_put(params)
     if batch_stats is not None:
-        batch_stats = jax.device_put(batch_stats)
+        batch_stats = jax.device_put(batch_stats, replicated(mesh)) \
+            if mesh else jax.device_put(batch_stats)
 
     def _vars(p):
         return {"params": p, "batch_stats": batch_stats} if batch_stats \
@@ -153,6 +174,10 @@ def test_net(config_path, max_images=None):
     # batch >1 amortizes dispatch + fills the chip (the reference used
     # threaded multi-GPU eval; infer harness shows ~2x at batch 4)
     eval_batch = int(TestParam.batch_image or 4)
+    if mesh is not None:
+        # batch must split evenly over the mesh; the loader always emits
+        # full-size batches (tail images masked via batch['valid'])
+        eval_batch = -(-eval_batch // n_dev) * n_dev
     if variables.get("batch_stats") and batch_stats is None \
             and not TestParam.batch_image:
         # legacy syncbn checkpoint without running stats: per-batch eval
@@ -181,7 +206,12 @@ def test_net(config_path, max_images=None):
         if data.shape not in seen_sig:
             seen_sig.add(data.shape)
             compile_between = True
-        d, ii = jnp.asarray(data), jnp.asarray(batch["im_info"])
+        ii_arr = np.asarray(batch["im_info"])
+        if mesh is not None:
+            d = jax.device_put(data, batch_sharding)
+            ii = jax.device_put(ii_arr, batch_sharding)
+        else:
+            d, ii = jnp.asarray(data), jnp.asarray(ii_arr)
         return (fwd(params, d, ii) if aggregate
                 else fwd_post(params, d, ii))
 
@@ -213,14 +243,19 @@ def test_net(config_path, max_images=None):
             keep = valid & bvalid[:, None]
             bi, ji = np.nonzero(keep)
             bx = boxes[bi, ji] / scale[bi, None]
-            rows = np.concatenate(
-                [bx[:, :2], bx[:, 2:4] - bx[:, :2] + 1], axis=1).tolist()
+            # quantize to 0.01 px / 1e-6 score: far below metric
+            # sensitivity, and makes result.json byte-reproducible across
+            # XLA partitionings (mesh-sharded vs single-device executables
+            # differ by float-rounding ULPs)
+            rows = np.round(np.concatenate(
+                [bx[:, :2], bx[:, 2:4] - bx[:, :2] + 1], axis=1),
+                2).tolist()
             for n in range(len(bi)):
                 detections.append({
                     "image_id": int(im_ids[bi[n]]),
                     "category_id": int(classes[bi[n], ji[n]]),
                     "bbox": rows[n],
-                    "score": float(scores[bi[n], ji[n]]),
+                    "score": round(float(scores[bi[n], ji[n]]), 6),
                 })
             n_done += int(bvalid.sum())
         now = time.time()
@@ -260,9 +295,10 @@ def test_net(config_path, max_images=None):
                 detections.append({
                     "image_id": im_id,
                     "category_id": int(classes[j]),
-                    "bbox": [float(x1), float(y1),
-                             float(x2 - x1 + 1), float(y2 - y1 + 1)],
-                    "score": float(scores[j]),
+                    "bbox": [round(float(x1), 2), round(float(y1), 2),
+                             round(float(x2 - x1 + 1), 2),
+                             round(float(y2 - y1 + 1), 2)],
+                    "score": round(float(scores[j]), 6),
                 })
             n_done += 1
     logger.info(f"inference done: {n_done} images in {time.time()-t0:.1f}s "

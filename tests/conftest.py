@@ -62,6 +62,7 @@ SLOW_TESTS = {
     "test_freeanchor_crowd.py::test_crowdhuman_e2e_tiny",
     "test_freeanchor_crowd.py::test_freeanchor_loss_tiny",
     "test_mask.py::test_mask_e2e_train_and_segm_eval",
+    "test_mesh_eval.py::test_mesh_sharded_eval_byte_identical",
     "test_msrcnn_kd.py::test_msrcnn_e2e_tiny",
     "test_msrcnn_kd.py::test_kd_fitnet_tiny",
     "test_multiscale_test.py::test_multiscale_flip_eval",

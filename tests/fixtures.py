@@ -7,9 +7,16 @@ import numpy as np
 
 
 def make_micro_dataset(root, n_images=8, seed=0,
-                       set_names=("micro_train", "micro_val")):
+                       set_names=("micro_train", "micro_val"),
+                       shapes="rect"):
     """Writes jpgs + roidb pickles + a COCO annotation json under `root`.
-    Returns (roidb_name, annotation_path). Images alternate orientation."""
+    Returns (roidb_name, annotation_path). Images alternate orientation.
+
+    shapes="ellipse" paints inscribed ellipses (16-gon polygons) instead
+    of filled rectangles: segm IoU(ellipse, box) ~ pi/4 ~ 0.785, so a mask
+    head that merely predicts "everything inside the box is foreground"
+    caps out below segm AP75 — the overfit gate then tests real mask-shape
+    learning, not box-filling."""
     import cv2
 
     from simpledet_tpu.data.roidb import save_roidb
@@ -26,26 +33,41 @@ def make_micro_dataset(root, n_images=8, seed=0,
         else:
             h, w = 224, 160
         img = rng.randint(0, 80, (h, w, 3), np.uint8)
-        boxes, classes = [], []
+        boxes, classes, obj_polys = [], [], []
         for j in range(rng.randint(1, 4)):
             bw, bh = rng.randint(30, 80), rng.randint(30, 80)
             x1 = rng.randint(0, w - bw)
             y1 = rng.randint(0, h - bh)
             cls = int(rng.randint(1, 4))
             color = [(255, 64, 64), (64, 255, 64), (64, 64, 255)][cls - 1]
-            cv2.rectangle(img, (x1, y1), (x1 + bw, y1 + bh), color, -1)
-            boxes.append([x1, y1, x1 + bw - 1, y1 + bh - 1])
+            x2, y2 = x1 + bw - 1, y1 + bh - 1
+            if shapes == "ellipse":
+                cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+                rx, ry = (x2 - x1) / 2.0, (y2 - y1) / 2.0
+                t = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+                vx = cx + rx * np.cos(t)
+                vy = cy + ry * np.sin(t)
+                poly = np.stack([vx, vy], 1)
+                cv2.fillPoly(img, [np.round(poly).astype(np.int32)], color)
+                obj_polys.append([float(v) for v in poly.reshape(-1)])
+            else:
+                cv2.rectangle(img, (x1, y1), (x1 + bw, y1 + bh), color, -1)
+                obj_polys.append(None)
+            boxes.append([x1, y1, x2, y2])
             classes.append(cls)
         path = os.path.join(img_dir, f"im{i}.jpg")
         cv2.imwrite(path, img[:, :, ::-1])
         images.append({"id": i + 1, "file_name": f"im{i}.jpg",
                        "height": h, "width": w})
         polys = []
-        for b, c in zip(boxes, classes):
+        for b, c, op in zip(boxes, classes, obj_polys):
             x1, y1, x2, y2 = b
-            # rectangle polygon matching the painted box (xy interleaved)
-            poly = [float(x1), float(y1), float(x2), float(y1),
-                    float(x2), float(y2), float(x1), float(y2)]
+            if op is not None:
+                poly = op
+            else:
+                # rectangle polygon matching the painted box (xy interleaved)
+                poly = [float(x1), float(y1), float(x2), float(y1),
+                        float(x2), float(y2), float(x1), float(y2)]
             polys.append([poly])
             annotations.append({
                 "id": ann_id, "image_id": i + 1, "category_id": c,

