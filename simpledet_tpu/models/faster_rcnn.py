@@ -21,6 +21,36 @@ from simpledet_tpu.models.rpn import FPNRpnHead
 from simpledet_tpu.targets.proposal_target import batched_proposal_target
 
 
+def deterministic_proposals(gt_bbox, n_prop):
+    """[B, G, 5] padded gt (class -1 sentinel) -> [B, n_prop, 4] proposals
+    that depend ONLY on gt: each gt box replicated through a fixed jitter
+    table spanning high-IoU (fg) to low-IoU (bg) perturbations. Used by the
+    fixed_proposals debug hook so both meshes of a DP-parity test sample
+    identical rois regardless of conv-output ULPs."""
+    g = gt_bbox.shape[1]
+    idx = jnp.arange(n_prop) % g
+    k = jnp.arange(n_prop) // g
+    boxes = gt_bbox[:, idx, :4]                       # [B, n_prop, 4]
+    valid = gt_bbox[:, idx, 4] >= 0                   # [B, n_prop]
+    boxes = jnp.where(valid[..., None], boxes,
+                      jnp.asarray([0.0, 0.0, 32.0, 32.0]))
+    # (dx, dy, size-scale): rows 0-3 stay above fg_thr 0.5, the rest drift
+    # into bg territory
+    jit_tab = jnp.asarray([
+        [0.0, 0.0, 1.00], [2.0, -2.0, 1.00], [-3.0, 3.0, 0.92],
+        [4.0, 4.0, 1.08], [12.0, -9.0, 1.30], [-18.0, 11.0, 0.65],
+        [28.0, 24.0, 1.90], [-30.0, -22.0, 0.45],
+    ])
+    off = jit_tab[k % jit_tab.shape[0]]               # [n_prop, 3]
+    cx = (boxes[..., 0] + boxes[..., 2]) * 0.5 + off[:, 0]
+    cy = (boxes[..., 1] + boxes[..., 3]) * 0.5 + off[:, 1]
+    w = (boxes[..., 2] - boxes[..., 0] + 1.0) * off[:, 2]
+    h = (boxes[..., 3] - boxes[..., 1] + 1.0) * off[:, 2]
+    out = jnp.stack([cx - 0.5 * (w - 1.0), cy - 0.5 * (h - 1.0),
+                     cx + 0.5 * (w - 1.0), cy + 0.5 * (h - 1.0)], axis=-1)
+    return jnp.maximum(out, 0.0)
+
+
 class RpnOnly(nn.Module):
     """RPN-only detector (reference symbol/builder.py:9-39 RPN): train =
     backbone -> neck -> rpn losses; test = proposals out."""
@@ -59,6 +89,13 @@ class FasterRcnn(nn.Module):
     p_rpn: Any
     p_roi: Any
     p_bbox: Any
+    # Debug hook (reference AnchorTarget2D.DEBUG analog,
+    # core/detection_input.py:371,485-494): replace the RPN's proposals
+    # with a deterministic function of gt_bbox only. Severs the top-k/NMS
+    # tie-break dependence on conv-output ULPs, so DP-parity tests can
+    # assert the continuous fwd/bwd path at ~1e-5 instead of the 5e-3 the
+    # discrete-roi amplification otherwise forces (tests/test_grad_parity).
+    fixed_proposals: bool = False
 
     def pyramid(self, data):
         feats = self.backbone(data)
@@ -92,6 +129,9 @@ class FasterRcnn(nn.Module):
                                                 im_info, pad_hw)
             proposals, _ = self.rpn.proposals(rpn_out, im_info, pad_hw,
                                               is_train=True)
+            if self.fixed_proposals:
+                proposals = deterministic_proposals(gt_bbox,
+                                                    proposals.shape[1])
             ps = self.p_rpn.subsample_proposal
             pt = self.p_rpn.bbox_target
             sample = batched_proposal_target(
