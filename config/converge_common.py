@@ -58,12 +58,11 @@ def make_dataset(is_train):
 
 
 def make_optimize(prefix, lr="0.005", epochs="120", warmup="60",
-                  lr_iter="320,400", wd=0.00005):
+                  lr_iter="320,400", wd=0.00005, opt_type="sgd"):
     lr_v = float(env(prefix, "LR", lr))
 
     class OptimizeParam:
         class optimizer:
-            type = "sgd"
             momentum = 0.9
             clip_gradient = 35
 
@@ -74,6 +73,7 @@ def make_optimize(prefix, lr="0.005", epochs="120", warmup="60",
         class warmup:
             type = "gradual"
 
+    OptimizeParam.optimizer.type = env(prefix, "OPT", opt_type)
     OptimizeParam.optimizer.lr = lr_v
     OptimizeParam.optimizer.wd = wd
     OptimizeParam.schedule.end_epoch = int(env(prefix, "EPOCHS", epochs))

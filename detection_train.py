@@ -179,7 +179,9 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
                 f"lr {base_lr}, lr_iter {lr_iter}, warmup_iter {warm_iter}")
     mask = freeze_mask(params, ModelParam.pretrain.fixed_param or [],
                        ModelParam.pretrain.excluded_param)
-    tx = make_optimizer(sched, momentum=OptimizeParam.optimizer.momentum or 0.9,
+    tx = make_optimizer(sched,
+                        opt_type=OptimizeParam.optimizer.type or "sgd",
+                        momentum=OptimizeParam.optimizer.momentum or 0.9,
                         wd=OptimizeParam.optimizer.wd or 0.0,
                         clip_gradient=OptimizeParam.optimizer.clip_gradient,
                         trainable_mask=mask)

@@ -26,8 +26,13 @@ def freeze_mask(params, fixed_param, excluded_param=None):
     return flax.traverse_util.unflatten_dict(mask)
 
 
-def make_optimizer(lr_schedule, *, momentum=0.9, wd=1e-4, clip_gradient=None,
-                   trainable_mask=None):
+def make_optimizer(lr_schedule, *, opt_type="sgd", momentum=0.9, wd=1e-4,
+                   clip_gradient=None, trainable_mask=None):
+    """opt_type: 'sgd' (reference default) or 'adam' (the reference config
+    schema's OptimizeParam.optimizer.type accepts any MXNet optimizer name,
+    doc/fully_annotated_config.py; adam is the useful second choice — e.g.
+    focal-loss overfit recipes where SGD's fixed scale stalls on the tiny
+    /fg_count-normalized gradients)."""
     chain = []
     if clip_gradient:
         chain.append(optax.clip(clip_gradient))
@@ -36,7 +41,10 @@ def make_optimizer(lr_schedule, *, momentum=0.9, wd=1e-4, clip_gradient=None,
         # decay frozen params
         chain.append(optax.add_decayed_weights(
             wd, mask=trainable_mask if trainable_mask is not None else None))
-    chain.append(optax.sgd(lr_schedule, momentum=momentum))
+    if opt_type == "adam":
+        chain.append(optax.adam(lr_schedule))
+    else:
+        chain.append(optax.sgd(lr_schedule, momentum=momentum))
     tx = optax.chain(*chain)
     if trainable_mask is not None:
         import jax
