@@ -86,8 +86,12 @@ def get_config(is_train):
     # program differences (e.g. donated vs undonated executables) flip it
     # between converging and bouncing; 5e-4 is robustly monotone
     # (total loss 0.002 at 480 steps).
-    OptimizeParam = cc.make_optimize(PREFIX, lr="0.0005", epochs="120",
-                                     warmup="60", lr_iter="320,400",
+    # 160 epochs (640 steps): the chip converges by 480 (AP 0.915/AP50
+    # 0.982) but the CPU-mesh CI run of the same recipe lands lower
+    # (AP 0.72/AP50 0.80 at 480 — different rounding, same code); the
+    # longer plateau restores margin over the AP >= 0.6 gate
+    OptimizeParam = cc.make_optimize(PREFIX, lr="0.0005", epochs="160",
+                                     warmup="60", lr_iter="480,560",
                                      wd=0.00001, opt_type="adam")
     TestParam = cc.make_test_param("converge_retina", PREFIX, OptimizeParam,
                                    min_det_score=0.05)

@@ -264,6 +264,8 @@ def batched_multilevel_roi_align(feats, rois, strides, *, out_size,
     impl = impl or os.environ.get("SIMPLEDET_ROI_ALIGN") \
         or _default_impl(feats, strides, out_size, canonical_scale,
                          canonical_level, crop)
+    if crop is None and os.environ.get("SIMPLEDET_ROI_CROP"):
+        crop = int(os.environ["SIMPLEDET_ROI_CROP"])
     if impl == "crop":
         return _batched_crop_roi_align(
             feats, rois, strides, out_size=out_size,

@@ -68,6 +68,20 @@ def bwd_vmem_fits(cw, c, tab_bytes, min_slots=2):
             <= _VMEM_BUDGET)
 
 
+def _small_cw(cw):
+    """Small-window size for the two-size DMA path: 40 covers the
+    canonical FPN footprint band (14-28 cells + bilinear tap + 8-align
+    slack) and cuts per-roi window traffic to (40/cw)^2 for the bulk of
+    rois. Disabled (0) when the static window is already small, or via
+    SIMPLEDET_ROI_SMALL_CW=0; any other value overrides."""
+    import os
+    v = os.environ.get("SIMPLEDET_ROI_SMALL_CW")
+    if v is not None:
+        scw = int(v)
+        return scw if 0 < scw < cw else 0
+    return 40 if cw >= 56 else 0
+
+
 def _auto_crop(feats, strides, canonical_scale, canonical_level, p):
     longest = max(max(f.shape[1], f.shape[2]) * s
                   for f, s in zip(feats, strides))
@@ -84,11 +98,13 @@ def _canvas_layout(shapes, crop, crop_x):
     occupies rows [0, H_i) and columns [offs[i], offs[i] + W_i) of a
     [hp, wtot] canvas. Slot widths leave >= 8 columns of slack so an
     8-aligned x0 window of crop_x columns never crosses into the next
-    level; slot heights are shared (hp covers the window of the finest
-    level; coarser levels read inert padding rows, which the bilinear
-    weights never reference).
+    level; hp likewise carries >= 8 rows of slack past the finest level
+    so a bottom-edge window origin can align down without dropping the
+    last rows (window origins are clamped to the SLOT extents, not the
+    feature extents — padding cells are zeros, and the bilinear weights
+    never reference them). Coarser levels read inert padding rows.
     """
-    hp = max(max(h for h, w in shapes), crop)
+    hp = -(-(max(max(h for h, w in shapes), crop) + 8) // 8) * 8
     offs, x = [], 0
     for h, w in shapes:
         offs.append(x)
@@ -97,7 +113,7 @@ def _canvas_layout(shapes, crop, crop_x):
 
 
 def _prep(feats, rois, strides, out_size, canonical_scale, canonical_level,
-          crop, offs):
+          crop, offs, hp, wtot, small_cw=0):
     """Trace-side math shared by fwd+bwd: canvas window origins, dense
     one-hot y-weights, and 2-tap x-interp (index, frac) pairs.
 
@@ -105,7 +121,18 @@ def _prep(feats, rois, strides, out_size, canonical_scale, canonical_level,
     (img_idx [BR], y0 [BR], xgc0 [BR] canvas-global lane offset (in
     elements, x*C), wy [BR, 2P, crop] f32 sample-major, xl [BR, 2P] int32
     window-local left-tap column, fx [BR, 2P] f32 tap fraction,
-    empty [BR, P, P]).
+    empty [BR, P, P], small [BR] int32 {0,1}).
+
+    small_cw > 0 enables the two-size window: rois whose full bilinear
+    support fits in a [small_cw, small_cw] sub-window (origin clamped per
+    size class) get small=1; the kernels then DMA only that sub-window —
+    the y-weights/x-taps are zero outside the support, so stale VMEM
+    content beyond the sub-window never reaches the output and results
+    are bit-exact vs the single-size kernel. FPN's canonical assignment
+    puts the typical roi footprint at 14-28 cells, while the static
+    worst-case window must cover the coarsest level's full-image roi
+    (~44 cells) — per-roi sizing cuts the dominant RMW DMA traffic to
+    (small_cw/cw)^2 for the bulk of rois.
     """
     p = out_size
     b, r_per = rois.shape[:2]
@@ -163,12 +190,38 @@ def _prep(feats, rois, strides, out_size, canonical_scale, canonical_level,
     # to compensate. Both window dims end up crop + 8 (= cw). Origins are
     # clamped to h/w - cw pre-alignment so windows stay inside the canvas.
     cw = crop + 8
-    y0 = jnp.clip(jnp.floor(jnp.min(ys2, 1)).astype(jnp.int32), 0,
-                  jnp.maximum(heights - cw, 0))
-    x0 = jnp.clip(jnp.floor(jnp.min(xs2, 1)).astype(jnp.int32), 0,
-                  jnp.maximum(widths - cw, 0))
-    y0 = (y0 // 8) * 8
-    x0 = (x0 // 8) * 8
+    # origins are clamped to the canvas SLOT extents (slot widths/hp carry
+    # >= 8 cells of zero-padded slack, _canvas_layout), never the feature
+    # extents: clamping to w - cw and then aligning down can drop up to 7
+    # right/bottom-edge cells for a wide roi whose support ends at the
+    # feature edge — samples themselves stay within the real cells (xs/ys
+    # are clipped to w-1/h-1 above), padding is only ever DMA ballast
+    slot_w = jnp.asarray(
+        [nxt - off for off, nxt in zip(offs, list(offs[1:]) + [wtot])],
+        jnp.int32)[lvl_idx]
+
+    def origin(vals2, extent, size):
+        v0 = jnp.clip(jnp.floor(jnp.min(vals2, 1)).astype(jnp.int32), 0,
+                      jnp.maximum(extent - size, 0))
+        return (v0 // 8) * 8
+
+    y0 = origin(ys2, hp, cw)
+    x0 = origin(xs2, slot_w, cw)
+    if small_cw and small_cw < cw:
+        # per-size origin clamp: near-edge rois clamp differently for the
+        # small sub-window; a roi is small only if its full support fits
+        # the small window FROM the small-clamped origin (the +1 covers
+        # the bilinear right tap)
+        y0s = origin(ys2, hp, small_cw)
+        x0s = origin(xs2, slot_w, small_cw)
+        fits = ((jnp.max(ys2, 1) - y0s.astype(rois.dtype) <= small_cw - 1)
+                & (jnp.max(xs2, 1) - x0s.astype(rois.dtype)
+                   <= small_cw - 1))
+        small = fits.astype(jnp.int32)
+        y0 = jnp.where(fits, y0s, y0)
+        x0 = jnp.where(fits, x0s, x0)
+    else:
+        small = jnp.zeros(ys2.shape[0], jnp.int32)
     rel_y = jnp.clip(ys2 - y0[:, None].astype(rois.dtype), 0.0, cw - 1.0)
     rel_x = jnp.clip(xs2 - x0[:, None].astype(rois.dtype), 0.0,
                      cw - 1.0)
@@ -193,32 +246,64 @@ def _prep(feats, rois, strides, out_size, canonical_scale, canonical_level,
     fx = fx.reshape(-1)
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r_per)
     xgc0 = (x0 + jnp.asarray(offs, jnp.int32)[lvl_idx]) * c
-    return img_idx, y0, xgc0, wy, xl, fx, empty
+    return img_idx, y0, xgc0, wy, xl, fx, empty, small
 
 
-def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, canvas, wy_ref,
-                out_ref, mask_ref, win, tmp_scr, sems, *, crop, crop_x, c,
-                p, br, mode):
+def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, small_ref, canvas,
+                wy_ref, out_ref, mask_ref, win, tmp_scr, sems, *, crop,
+                crop_x, c, p, br, mode, scw):
     r = pl.program_id(0)
 
-    def dma(slot, idx):
+    def dma(slot, idx, size):
         return pltpu.make_async_copy(
             canvas.at[img_ref[idx],
-                      pl.ds(pl.multiple_of(y0_ref[idx], 8), crop),
+                      pl.ds(pl.multiple_of(y0_ref[idx], 8), size),
                       pl.ds(pl.multiple_of(xgc_ref[idx], 8 * c),
-                            crop_x * c)],
-            win.at[slot], sems.at[slot])
+                            size * c)],
+            win.at[slot] if size == crop
+            else win.at[slot, :size, :size * c],
+            sems.at[slot])
+
+    def start(slot, idx):
+        if scw:
+            @pl.when(small_ref[idx] == 1)
+            def _():
+                dma(slot, idx, scw).start()
+
+            @pl.when(small_ref[idx] == 0)
+            def _():
+                dma(slot, idx, crop).start()
+        else:
+            dma(slot, idx, crop).start()
+
+    def wait(slot, idx):
+        if scw:
+            @pl.when(small_ref[idx] == 1)
+            def _():
+                dma(slot, idx, scw).wait()
+
+            @pl.when(small_ref[idx] == 0)
+            def _():
+                dma(slot, idx, crop).wait()
+        else:
+            dma(slot, idx, crop).wait()
 
     @pl.when(r == 0)
     def _():
-        dma(0, 0).start()
+        if scw:
+            # small windows leave rows/cols >= scw stale; the y-dot reads
+            # the FULL window with zero weights there, and 0 * NaN = NaN —
+            # so the scratch must start finite. Big windows overwrite it
+            # all; small windows then see earlier finite feature values.
+            win[...] = jnp.zeros((2, crop, crop_x * c), win.dtype)
+        start(0, 0)
 
     @pl.when(r + 1 < br)
     def _():
-        dma((r + 1) % 2, r + 1).start()
+        start((r + 1) % 2, r + 1)
 
     slot = jax.lax.rem(r, 2)
-    dma(slot, r).wait()
+    wait(slot, r)
     w = win[slot]                                         # [crop, crop_x*C]
     wy = wy_ref[0].astype(w.dtype)                        # [2P, crop]
     # HIGHEST forces true-f32 MXU passes for f32 windows; bf16 operands
@@ -254,29 +339,49 @@ def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, canvas, wy_ref,
                         (p, c), mask_ref.dtype)
 
 
-def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, tabs_in, g_ref,
-                mask_ref, wy_ref, tabs_out, win, dtmp, rsems, wsems, *,
-                crop, crop_x, c, p, br, slots):
+def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, small_ref,
+                tabs_in, g_ref, mask_ref, wy_ref, tabs_out, win, dtmp,
+                rsems, wsems, *, crop, crop_x, c, p, br, slots, scw):
     r = pl.program_id(0)
 
-    def window(idx):
+    def window(idx, size):
         s = jax.lax.rem(idx, slots)
         return tabs_out.at[s, img_ref[idx],
-                           pl.ds(pl.multiple_of(y0_ref[idx], 8), crop),
+                           pl.ds(pl.multiple_of(y0_ref[idx], 8), size),
                            pl.ds(pl.multiple_of(xgc_ref[idx], 8 * c),
-                                 crop_x * c)]
+                                 size * c)]
 
-    def rd(idx):
+    def rd(idx, size):
         s = jax.lax.rem(idx, slots)
-        return pltpu.make_async_copy(window(idx), win.at[s], rsems.at[s])
+        return pltpu.make_async_copy(
+            window(idx, size),
+            win.at[s] if size == crop else win.at[s, :size, :size * c],
+            rsems.at[s])
 
-    def wr(idx):
+    def wr(idx, size):
         s = jax.lax.rem(idx, slots)
-        return pltpu.make_async_copy(win.at[s], window(idx), wsems.at[s])
+        return pltpu.make_async_copy(
+            win.at[s] if size == crop else win.at[s, :size, :size * c],
+            window(idx, size), wsems.at[s])
+
+    def sized(idx, fn):
+        """Run fn(size) with the DMA size matching roi idx's class. The
+        small path round-trips only the sub-window; rows/cols beyond stay
+        stale in VMEM but are never written back (dwin is zero there)."""
+        if scw:
+            @pl.when(small_ref[idx] == 1)
+            def _():
+                fn(scw)
+
+            @pl.when(small_ref[idx] == 0)
+            def _():
+                fn(crop)
+        else:
+            fn(crop)
 
     @pl.when(r == 0)
     def _():
-        rd(0).start()
+        sized(0, lambda sz: rd(0, sz).start())
 
     # dwin depends only on pipelined blocks: overlaps the in-flight read
     g = g_ref[0]                                          # [P, P, C] f32
@@ -303,9 +408,9 @@ def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, tabs_in, g_ref,
         precision=jax.lax.Precision.HIGHEST)
 
     slot = jax.lax.rem(r, slots)
-    rd(r).wait()
+    sized(r, lambda sz: rd(r, sz).wait())
     win[slot] = (win[slot].astype(jnp.float32) + dwin).astype(win.dtype)
-    wr(r).start()
+    sized(r, lambda sz: wr(r, sz).start())
 
     # rd(r+1) writes win slot (r+1) % slots, which wr(r+1-slots) is still
     # copying out, and reads table (r+1) % slots, which the same write
@@ -314,17 +419,17 @@ def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, tabs_in, g_ref,
     # slots-1 grid steps of slack instead of the serial rd->wr->rd chain.
     @pl.when(r >= slots - 1)
     def _():
-        wr(r - (slots - 1)).wait()
+        sized(r - (slots - 1), lambda sz: wr(r - (slots - 1), sz).wait())
 
     @pl.when(r + 1 < br)
     def _():
-        rd(r + 1).start()
+        sized(r + 1, lambda sz: rd(r + 1, sz).start())
 
     @pl.when(r == br - 1)
     def _():
         # drain every write not yet waited on (the last min(slots-1, br))
         for j in range(min(slots - 1, br)):
-            wr(br - 1 - j).wait()
+            sized(br - 1 - j, lambda sz, j=j: wr(br - 1 - j, sz).wait())
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
@@ -348,11 +453,12 @@ def _fwd(feats, rois, strides, out_size, canonical_scale, canonical_level,
         crop = _auto_crop(feats, strides, canonical_scale, canonical_level,
                           p)
     cw = crop + 8                   # window size in both dims (8-aligned)
+    scw = _small_cw(cw)
     shapes = [(f.shape[1], f.shape[2]) for f in feats]
     hp, wtot, offs = _canvas_layout(shapes, cw, cw)
-    img_idx, y0, xgc0, wy, xl, fx, empty = _prep(
+    img_idx, y0, xgc0, wy, xl, fx, empty, small = _prep(
         feats, rois, strides, p, canonical_scale, canonical_level, crop,
-        offs)
+        offs, hp, wtot, small_cw=scw)
     canvas = jnp.concatenate(
         [jnp.pad(f, ((0, 0), (0, hp - f.shape[1]),
                      (0, off_next - off - f.shape[2]), (0, 0)))
@@ -361,7 +467,7 @@ def _fwd(feats, rois, strides, out_size, canonical_scale, canonical_level,
     br = b * r_per
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(br,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # canvas in HBM
@@ -380,27 +486,27 @@ def _fwd(feats, rois, strides, out_size, canonical_scale, canonical_level,
     )
     out, mask = pl.pallas_call(
         functools.partial(_fwd_kernel, crop=cw, crop_x=cw, c=c, p=p,
-                          br=br, mode=mode),
+                          br=br, mode=mode, scw=scw),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((br, p, p, c), jnp.float32),
                    jax.ShapeDtypeStruct((br, 2, 2, p, p, c), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(img_idx, y0, xgc0, xl, fx, canvas, wy)
+    )(img_idx, y0, xgc0, xl, fx, small, canvas, wy)
 
     out = jnp.where(empty[..., None], 0.0, out).astype(feats[0].dtype)
     out = out.reshape(b, r_per, p, p, c)
     # zero-size skeletons carry per-level (H, W) + dtype through the
     # residual pytree without keeping feature values alive
     skels = [jnp.zeros((0,) + f.shape[1:], f.dtype) for f in feats]
-    res = (rois, img_idx, y0, xgc0, wy, xl, fx, empty, mask, skels)
+    res = (rois, img_idx, y0, xgc0, wy, xl, fx, empty, mask, small, skels)
     return out, res
 
 
 def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
          interpret, res, g):
-    (rois, img_idx, y0, xgc0, wy, xl, fx, empty, mask, skels) = res
+    (rois, img_idx, y0, xgc0, wy, xl, fx, empty, mask, small, skels) = res
     p = out_size
     b = rois.shape[0]
     br = img_idx.shape[0]
@@ -408,6 +514,7 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
     shapes = [(s.shape[1], s.shape[2]) for s in skels]
     dtype = skels[0].dtype
     cw = wy.shape[-1]               # window size in both dims (crop + 8)
+    scw = _small_cw(cw)
     hp, wtot, offs = _canvas_layout(shapes, cw, cw)
 
     g = g.reshape(br, p, p, c).astype(jnp.float32)
@@ -442,7 +549,7 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
     tabs0 = jnp.zeros((slots, b, hp, wtot * c), tab_dt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(br,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # grad tables
@@ -461,14 +568,14 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
     )
     tabs = pl.pallas_call(
         functools.partial(_bwd_kernel, crop=cw, crop_x=cw, c=c, p=p,
-                          br=br, slots=slots),
+                          br=br, slots=slots, scw=scw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((slots, b, hp, wtot * c), tab_dt),
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(img_idx, y0, xgc0, xl, fx, tabs0, g, mask, wy)
+    )(img_idx, y0, xgc0, xl, fx, small, tabs0, g, mask, wy)
 
     gc = jnp.sum(tabs.astype(jnp.float32), axis=0).reshape(b, hp, wtot, c)
     gfeats = [gc[:, :h, off:off + w, :].astype(dtype)

@@ -182,3 +182,51 @@ def test_pallas_roi_align_matches_crop_path():
     for x, y in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_two_size_window_matches_crop_path():
+    """Two-size window path (interpret mode): features wide enough that
+    the static window is 56+ cells (engaging the small-window DMA for
+    typical rois) with a roi mix spanning tiny to full-image — results
+    and gradients must match the XLA crop math exactly like the
+    single-size kernel (the y-weights/x-taps are zero outside the small
+    sub-window, so the sub-window DMA is semantics-neutral)."""
+    import jax
+    import jax.numpy as jnp
+
+    from simpledet_tpu.kernels.roi_align import _batched_crop_roi_align
+    from simpledet_tpu.kernels.roi_align_pallas import (
+        _small_cw, batched_roi_align_pallas)
+
+    rng = np.random.RandomState(7)
+    c = 8
+    # stride-4 level 88x336 -> longest 336*4=1344 px -> crop 48, cw 56
+    feats = [jnp.asarray(rng.randn(
+        2, max(88 // (2 ** i), 3), max(336 // (2 ** i), 3), c)
+        .astype(np.float32)) for i in range(4)]
+    strides = (4, 8, 16, 32)
+    assert _small_cw(56) == 40   # default engages at cw 56
+
+    n = 14
+    xy = rng.uniform(0, 250, (n, 2)).astype(np.float32)
+    wh = np.exp(rng.uniform(np.log(8), np.log(280), (n, 2))).astype(
+        np.float32)
+    rois_np = np.concatenate([xy, xy + wh], 1)
+    rois_np[-2] = [2.0, 2.0, 1330.0, 340.0]     # full-image giant (big path)
+    rois_np[-1] = [800.0, 60.0, 1300.0, 300.0]  # wide right-edge roi
+    rois_np[:, 0::2] = np.clip(rois_np[:, 0::2], 0, 1340)
+    rois_np[:, 1::2] = np.clip(rois_np[:, 1::2], 0, 350)
+    rois = jnp.asarray(np.stack([rois_np, rois_np[::-1]]))
+
+    a = np.asarray(batched_roi_align_pallas(
+        feats, rois, strides, 7, 224, 4, "max", None, True))
+    b = np.asarray(_batched_crop_roi_align(feats, rois, strides, out_size=7))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    g1 = jax.grad(lambda fs: jnp.sum(batched_roi_align_pallas(
+        fs, rois, strides, 7, 224, 4, "max", None, True) ** 2))(feats)
+    g2 = jax.grad(lambda fs: jnp.sum(_batched_crop_roi_align(
+        fs, rois, strides, out_size=7) ** 2))(feats)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-4)

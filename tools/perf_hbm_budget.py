@@ -44,7 +44,7 @@ def shape_bytes(type_str):
     return total
 
 
-INSTR_RE = re.compile(r"^\s+(%?[\w.-]+)\s*=\s*(\([^)]*\)|\S+)\s+(\w+)\(")
+INSTR_RE = re.compile(r"^\s+(%?[\w.-]+)\s*=\s*(\([^)]*\)|\S+)\s+([\w-]+)\(")
 
 
 def parse_entry(hlo_text):
@@ -88,6 +88,16 @@ def category(opcode, line):
             tag = "/".join(parts[1:3]) if len(parts) > 2 else hint.group(1)
         return f"fusion:{kind}:{tag[:48]}"
     return opcode
+
+
+def source_hint(line):
+    """metadata op_name tail — names the jax-level op a copy/pad/slice
+    serves, which is what you need to know to remove it."""
+    hint = re.search(r'metadata={op_name="([^"]*)"', line)
+    if not hint:
+        return "?"
+    parts = hint.group(1).split("/")
+    return "/".join(parts[-3:])[-80:]
 
 
 def main():
@@ -160,6 +170,11 @@ def main():
         rows.append((out_b + read_b, out_b, read_b, name,
                      category(opcode, line)))
 
+    if "--dump" in argv:
+        with open("/tmp/step_hlo.txt", "w") as f:
+            f.write(hlo)
+        print("dumped HLO to /tmp/step_hlo.txt")
+
     rows.sort(reverse=True)
     total = sum(r[0] for r in rows)
     print(f"batch {b}  entry-level instructions: {len(rows)}  "
@@ -176,6 +191,19 @@ def main():
     print("\nby category:")
     for cat, t in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
         print(f"  {t/1e9:7.3f} GB  {cat}")
+
+    # data-movement attribution: where do the copies/pads/slices COME from
+    move = defaultdict(float)
+    for name, type_str, opcode, operands, line in parse_entry(hlo):
+        if opcode in ("copy", "pad", "slice", "copy-start", "transpose",
+                      "dynamic-slice", "concatenate"):
+            out_b = shape_bytes(type_str)
+            read_b = sum(sizes[o][0] for o in operands
+                         if o in sizes and sizes[o][1] != "constant")
+            move[f"{opcode}: {source_hint(line)}"] += out_b + read_b
+    print("\ndata movement by source (top 25):")
+    for src, t in sorted(move.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {t/1e9:7.3f} GB  {src}")
 
 
 if __name__ == "__main__":
