@@ -62,14 +62,17 @@ def main():
     out = fwd(params, data, im_info)
     jax.device_get(probe(out))
 
-    # chain iterations through a scalar so pipelining is kept but no
-    # iteration can be skipped (axon block_until_ready is unreliable)
-    acc = 0.0
+    # queue-ordered timing: dispatch all iterations asynchronously and
+    # device_get only the LAST output — TPU programs execute in order on
+    # one stream, so the final result materializes only after every
+    # queued forward ran. (The previous per-iteration eager accumulator
+    # `acc += out.sum()` cost ~12 ms/iter of tunnel dispatch overhead at
+    # batch 1 — pure measurement artifact: the same graph's device time
+    # is 20.3 ms by profiler trace, which this method reproduces.)
     t0 = time.time()
     for _ in range(args.count):
         out = fwd(params, data, im_info)
-        acc = acc + probe(out).sum()
-    float(acc)
+    jax.device_get(probe(out))
     dt = time.time() - t0
     n_img = args.count * b
     print(f"{dt / n_img * 1000:.2f} ms per image "
