@@ -3,13 +3,14 @@
 Prints ONE JSON line. Benches the bf16 flagship (mixed precision is the
 reference's headline feature and the best-practice TPU training dtype) at
 its best per-chip batch (8 — the round-4 sweep in doc/BENCHMARK.md:
-29.5/32.7/46.9/49.9 img/s at batch 2/4/8/16; peak HBM 5.1 GB at 8, and
-batch 16's +6% does not justify 2x activation memory). The comparable
+31.3/34.6/52.9/56.2 img/s at batch 2/4/8/16 after the RoIAlign kernel
+work; peak HBM 5.1 GB at 8, and batch 16's +6% does not justify 2x
+activation memory). The comparable
 reference number is its best fp16 row: 77 img/s on 8x 2080Ti at
 4 img/GPU = 9.625 img/s per GPU (reference MODEL_ZOO.md:129, copied in
 BASELINE.md; at 2 img/GPU it is 8.125, and fp32 is 5.375). Same
 workload: 800x1333 padded inputs, full train step (fwd+bwd+SGD+in-graph
-target generation) on one chip. The batch-2 rate (29.5 img/s = 3.63x the
+target generation) on one chip. The batch-2 rate (31.3 img/s = 3.85x the
 reference's 2-img/GPU fp16 row) is tracked in doc/BENCHMARK.md.
 """
 import json

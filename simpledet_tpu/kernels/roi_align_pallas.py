@@ -249,14 +249,17 @@ def _prep(feats, rois, strides, out_size, canonical_scale, canonical_level,
     return img_idx, y0, xgc0, wy, xl, fx, empty, small
 
 
-def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, small_ref, canvas,
+def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, canvas,
                 wy_ref, out_ref, mask_ref, win, tmp_scr, sems, *, crop,
                 crop_x, c, p, br, mode, scw):
     r = pl.program_id(0)
+    # img_ref packs (small << 20) | img_idx: a separate [BR] small array
+    # tipped the scalar-prefetch SMEM budget over its 1 MB cap at batch 16
+    # (xl+fx alone are ~900 KB there)
 
     def dma(slot, idx, size):
         return pltpu.make_async_copy(
-            canvas.at[img_ref[idx],
+            canvas.at[img_ref[idx] & 0xFFFFF,
                       pl.ds(pl.multiple_of(y0_ref[idx], 8), size),
                       pl.ds(pl.multiple_of(xgc_ref[idx], 8 * c),
                             size * c)],
@@ -264,29 +267,23 @@ def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, small_ref, canvas,
             else win.at[slot, :size, :size * c],
             sems.at[slot])
 
-    def start(slot, idx):
+    def sized_fwd(idx, fn):
         if scw:
-            @pl.when(small_ref[idx] == 1)
+            @pl.when((img_ref[idx] >> 20) == 1)
             def _():
-                dma(slot, idx, scw).start()
+                fn(scw)
 
-            @pl.when(small_ref[idx] == 0)
+            @pl.when((img_ref[idx] >> 20) == 0)
             def _():
-                dma(slot, idx, crop).start()
+                fn(crop)
         else:
-            dma(slot, idx, crop).start()
+            fn(crop)
+
+    def start(slot, idx):
+        sized_fwd(idx, lambda sz: dma(slot, idx, sz).start())
 
     def wait(slot, idx):
-        if scw:
-            @pl.when(small_ref[idx] == 1)
-            def _():
-                dma(slot, idx, scw).wait()
-
-            @pl.when(small_ref[idx] == 0)
-            def _():
-                dma(slot, idx, crop).wait()
-        else:
-            dma(slot, idx, crop).wait()
+        sized_fwd(idx, lambda sz: dma(slot, idx, sz).wait())
 
     @pl.when(r == 0)
     def _():
@@ -339,14 +336,16 @@ def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, small_ref, canvas,
                         (p, c), mask_ref.dtype)
 
 
-def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, small_ref,
+def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref,
                 tabs_in, g_ref, mask_ref, wy_ref, tabs_out, win, dtmp,
-                rsems, wsems, *, crop, crop_x, c, p, br, slots, scw):
+                dwin_scr, rsems, wsems, *, crop, crop_x, c, p, br, slots,
+                scw):
     r = pl.program_id(0)
+    # img_ref packs (small << 20) | img_idx — see _fwd_kernel
 
     def window(idx, size):
         s = jax.lax.rem(idx, slots)
-        return tabs_out.at[s, img_ref[idx],
+        return tabs_out.at[s, img_ref[idx] & 0xFFFFF,
                            pl.ds(pl.multiple_of(y0_ref[idx], 8), size),
                            pl.ds(pl.multiple_of(xgc_ref[idx], 8 * c),
                                  size * c)]
@@ -369,11 +368,11 @@ def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, small_ref,
         small path round-trips only the sub-window; rows/cols beyond stay
         stale in VMEM but are never written back (dwin is zero there)."""
         if scw:
-            @pl.when(small_ref[idx] == 1)
+            @pl.when((img_ref[idx] >> 20) == 1)
             def _():
                 fn(scw)
 
-            @pl.when(small_ref[idx] == 0)
+            @pl.when((img_ref[idx] >> 20) == 0)
             def _():
                 fn(crop)
         else:
@@ -401,15 +400,45 @@ def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, small_ref,
                                       + gsel * (1.0 - f))
             dtmp[:, pl.ds(xlc + c, c)] = (dtmp[:, pl.ds(xlc + c, c)]
                                           + gsel * f)
-    # [2P, crop]^T @ [2P, crop_x*C] -> [crop, crop_x*C]
-    dwin = jax.lax.dot_general(
-        wy_ref[0], dtmp[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+
+    # [2P, sz]^T @ [2P, sz*C] -> [sz, sz*C], sized to the roi's window
+    # class (the small branch runs a quarter of the MACs). This dot was
+    # 16.5 of the backward's 30 ms at f32-HIGHEST (6-pass MXU with a
+    # K=14 contraction); when the gradient tables are bf16 the operands
+    # are cast to bf16 for a single-pass dot — the product is rounded to
+    # bf16 by the table RMW anyway, so no precision is lost end-to-end.
+    # f32 tables (SIMPLEDET_ROI_GRAD_F32 / f32 features) keep the
+    # HIGHEST-precision dot.
+    dot_dt = jnp.bfloat16 if win.dtype == jnp.bfloat16 else jnp.float32
+    prec = (jax.lax.Precision.HIGHEST if dot_dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def dwin_into(sz):
+        d = jax.lax.dot_general(
+            wy_ref[0][:, :sz].astype(dot_dt),
+            dtmp[:, :sz * c].astype(dot_dt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if sz == crop:
+            dwin_scr[...] = d
+        else:
+            dwin_scr[:sz, :sz * c] = d
+
+    sized(r, dwin_into)
 
     slot = jax.lax.rem(r, slots)
     sized(r, lambda sz: rd(r, sz).wait())
-    win[slot] = (win[slot].astype(jnp.float32) + dwin).astype(win.dtype)
+
+    def accumulate(sz):
+        if sz == crop:
+            win[slot] = (win[slot].astype(jnp.float32)
+                         + dwin_scr[...]).astype(win.dtype)
+        else:
+            win[slot, :sz, :sz * c] = (
+                win[slot, :sz, :sz * c].astype(jnp.float32)
+                + dwin_scr[:sz, :sz * c]).astype(win.dtype)
+
+    sized(r, accumulate)
     sized(r, lambda sz: wr(r, sz).start())
 
     # rd(r+1) writes win slot (r+1) % slots, which wr(r+1-slots) is still
@@ -466,8 +495,9 @@ def _fwd(feats, rois, strides, out_size, canonical_scale, canonical_level,
         axis=2).reshape(b, hp, wtot * c)
     br = b * r_per
 
+    img_code = img_idx + (small << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(br,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # canvas in HBM
@@ -493,7 +523,7 @@ def _fwd(feats, rois, strides, out_size, canonical_scale, canonical_level,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(img_idx, y0, xgc0, xl, fx, small, canvas, wy)
+    )(img_code, y0, xgc0, xl, fx, canvas, wy)
 
     out = jnp.where(empty[..., None], 0.0, out).astype(feats[0].dtype)
     out = out.reshape(b, r_per, p, p, c)
@@ -548,8 +578,9 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
             slots -= 1
     tabs0 = jnp.zeros((slots, b, hp, wtot * c), tab_dt)
 
+    img_code = img_idx + (small << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(br,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # grad tables
@@ -562,6 +593,7 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
         scratch_shapes=[
             pltpu.VMEM((slots, cw, cw * c), tab_dt),
             pltpu.VMEM((2 * p, cw * c), jnp.float32),
+            pltpu.VMEM((cw, cw * c), jnp.float32),   # dwin (branch-shared)
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
         ],
@@ -571,11 +603,11 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
                           br=br, slots=slots, scw=scw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((slots, b, hp, wtot * c), tab_dt),
-        input_output_aliases={6: 0},
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(img_idx, y0, xgc0, xl, fx, small, tabs0, g, mask, wy)
+    )(img_code, y0, xgc0, xl, fx, tabs0, g, mask, wy)
 
     gc = jnp.sum(tabs.astype(jnp.float32), axis=0).reshape(b, hp, wtot, c)
     gfeats = [gc[:, :h, off:off + w, :].astype(dtype)
