@@ -72,10 +72,27 @@ def mask_test_net(config_path, max_images=None):
     else:
         logger.info("WARNING: no checkpoint found, using random params")
 
+    # mesh-sharded eval (see detection_test.py: params replicated, batch
+    # split along the data axis; the test graph is per-image so no
+    # collectives appear). SIMPLEDET_EVAL_DEVICES caps the mesh.
+    n_dev = len(jax.devices())
+    cap = os.environ.get("SIMPLEDET_EVAL_DEVICES")
+    if cap:
+        n_dev = max(1, min(n_dev, int(cap)))
+    mesh = None
+    if n_dev > 1:
+        from simpledet_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                                 replicated)
+        mesh = make_mesh(jax.devices()[:n_dev])
+        batch_sharding = data_sharding(mesh)
+        logger.info(f"eval sharded over {n_dev} devices")
+
     # pin checkpoint-restored host numpy on device once (see detection_test)
-    params = jax.device_put(params)
+    params = jax.device_put(params, replicated(mesh)) if mesh \
+        else jax.device_put(params)
     if batch_stats is not None:
-        batch_stats = jax.device_put(batch_stats)
+        batch_stats = jax.device_put(batch_stats, replicated(mesh)) \
+            if mesh else jax.device_put(batch_stats)
 
     def _vars(p):
         return {"params": p, "batch_stats": batch_stats} if batch_stats \
@@ -88,17 +105,26 @@ def mask_test_net(config_path, max_images=None):
             d = device_normalize(d, ii, *_pn)
         return model.apply(_vars(p), d, ii, mode="test")
     fwd = jax.jit(_fwd)
-    loader = Loader(roidb, transform, 1, shuffle=False, num_workers=4,
-                    keys=("data", "im_info", "im_id"), pad_last=False,
-                    aspect_grouping=True)
+    eval_batch = int(TestParam.batch_image or 1)
+    if mesh is not None:
+        eval_batch = -(-eval_batch // n_dev) * n_dev
+    loader = Loader(roidb, transform, eval_batch, shuffle=False,
+                    num_workers=4, keys=("data", "im_info", "im_id"),
+                    pad_last=False, aspect_grouping=True)
     roidb_by_id = {r["im_id"]: r for r in roidb}
 
     detections = []
     t0 = time.time()
     n_done = 0
     for batch in loader:
-        out = fwd(params, jnp.asarray(batch["data"]),
-                  jnp.asarray(batch["im_info"]))
+        if mesh is not None:
+            d = jax.device_put(np.asarray(batch["data"]), batch_sharding)
+            ii = jax.device_put(np.asarray(batch["im_info"]),
+                                batch_sharding)
+        else:
+            d = jnp.asarray(batch["data"])
+            ii = jnp.asarray(batch["im_info"])
+        out = fwd(params, d, ii)
         boxes = np.asarray(out["bbox_xyxy"])
         scores = np.asarray(out["cls_score"])
         classes = np.asarray(out["cls"])

@@ -70,3 +70,42 @@ def test_mesh_sharded_eval_byte_identical(micro_data):
     assert len(json.loads(bytes1)) > 0   # random-init still detects junk
     assert bytes1 == bytes8
     assert np.isfinite(s1["AP"]) and s1["AP"] == s8["AP"]
+
+
+def test_mesh_sharded_mask_eval_byte_identical(micro_data):
+    """Same parity contract for mask_test.py: sharded instance-seg eval
+    (boxes + RLE masks) must byte-match the single-device run at matched
+    per-device batch."""
+    cfg_path = os.path.join(DATA_ROOT, "mask_mesh_config.py")
+    with open("config/mask_micro_test.py") as f:
+        src = f.read()
+    src = src.replace(
+        "class TestParam:\n        min_det_score = 0.01",
+        "class TestParam:\n        batch_image = 8\n"
+        "        min_det_score = 0.01")
+    assert "batch_image = 8" in src
+    with open(cfg_path, "w") as f:
+        f.write(src)
+    cfg1_path = cfg_path.replace(".py", "_b1.py")
+    with open(cfg1_path, "w") as f:
+        f.write(src.replace("batch_image = 8", "batch_image = 1"))
+
+    from mask_test import mask_test_net
+    result_json = "experiments/mask_micro_test/micro_val_segm_result.json"
+
+    try:
+        os.environ["SIMPLEDET_EVAL_DEVICES"] = "1"
+        s1 = mask_test_net(cfg1_path, max_images=6)
+        with open(result_json, "rb") as f:
+            bytes1 = f.read()
+
+        os.environ["SIMPLEDET_EVAL_DEVICES"] = "8"
+        s8 = mask_test_net(cfg_path, max_images=6)
+        with open(result_json, "rb") as f:
+            bytes8 = f.read()
+    finally:
+        os.environ.pop("SIMPLEDET_EVAL_DEVICES", None)
+
+    assert len(json.loads(bytes1)) > 0
+    assert bytes1 == bytes8
+    assert s1["segm"]["AP"] == s8["segm"]["AP"]
