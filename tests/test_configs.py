@@ -11,6 +11,8 @@ CONFIGS = sorted(
     p for p in glob.glob("config/**/*.py", recursive=True)
     if not p.endswith("__init__.py")
     and "micro" not in p          # exercised by the e2e tests
+    and not p.endswith("converge_common.py")  # shared scaffolding helper,
+                                              # no get_config of its own
 )
 
 
