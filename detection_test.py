@@ -91,6 +91,13 @@ def test_net(config_path, max_images=None):
     cap = os.environ.get("SIMPLEDET_EVAL_DEVICES")
     if cap:
         n_dev = max(1, min(n_dev, int(cap)))
+    # legacy-syncbn batch-1 override (see eval_batch below) must be known
+    # BEFORE the mesh is built: a batch of 1 cannot shard over n_dev>1
+    # devices, so that case falls back to unsharded single-device eval
+    force_batch1 = bool(variables.get("batch_stats")) \
+        and batch_stats is None and not TestParam.batch_image
+    if force_batch1:
+        n_dev = 1
     mesh = None
     if n_dev > 1:
         from simpledet_tpu.parallel.mesh import (data_sharding, make_mesh,
@@ -178,11 +185,11 @@ def test_net(config_path, max_images=None):
         # batch must split evenly over the mesh; the loader always emits
         # full-size batches (tail images masked via batch['valid'])
         eval_batch = -(-eval_batch // n_dev) * n_dev
-    if variables.get("batch_stats") and batch_stats is None \
-            and not TestParam.batch_image:
+    if force_batch1:
         # legacy syncbn checkpoint without running stats: per-batch eval
         # statistics would mix differently-padded images at batch>1, so
         # keep the historical batch-1 behavior unless the config opts in
+        # (mesh is already None for this case — see force_batch1 above)
         eval_batch = 1
         logger.info("syncbn without running stats: forcing eval batch 1 "
                     "(per-batch statistics)")

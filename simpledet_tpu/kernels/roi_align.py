@@ -261,11 +261,15 @@ def batched_multilevel_roi_align(feats, rois, strides, *, out_size,
     worst-case crop window exceeds VMEM.
     """
     import os
+    # resolve the crop override BEFORE impl selection: _default_impl sizes
+    # the pallas backward's VMEM fit from the actual crop, so a forced
+    # larger crop must be visible to that check or it can select 'pallas'
+    # and then fail Mosaic scoped-VMEM compilation
+    if crop is None and os.environ.get("SIMPLEDET_ROI_CROP"):
+        crop = int(os.environ["SIMPLEDET_ROI_CROP"])
     impl = impl or os.environ.get("SIMPLEDET_ROI_ALIGN") \
         or _default_impl(feats, strides, out_size, canonical_scale,
                          canonical_level, crop)
-    if crop is None and os.environ.get("SIMPLEDET_ROI_CROP"):
-        crop = int(os.environ["SIMPLEDET_ROI_CROP"])
     if impl == "crop":
         return _batched_crop_roi_align(
             feats, rois, strides, out_size=out_size,

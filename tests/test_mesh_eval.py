@@ -109,3 +109,25 @@ def test_mesh_sharded_mask_eval_byte_identical(micro_data):
     assert len(json.loads(bytes1)) > 0
     assert bytes1 == bytes8
     assert s1["segm"]["AP"] == s8["segm"]["AP"]
+
+
+def test_legacy_syncbn_batch1_falls_back_to_unsharded(micro_data):
+    """ADVICE r4 (medium): a syncbn checkpoint WITHOUT saved running stats
+    forces eval_batch=1 (per-batch statistics); with >1 visible devices
+    that batch cannot shard over the mesh, so the CLI must fall back to
+    unsharded single-device eval instead of crashing in device_put."""
+    import shutil
+    shutil.rmtree("experiments/syncbn_micro_test", ignore_errors=True)
+    from detection_train import train_net
+    train_net("config/syncbn_micro_test.py", max_iter_override=2)
+    # simulate a legacy checkpoint: drop the saved running statistics
+    bs = "experiments/syncbn_micro_test/checkpoint-0001.batch_stats"
+    assert os.path.exists(bs)
+    os.remove(bs)
+    from detection_test import test_net
+    try:
+        os.environ["SIMPLEDET_EVAL_DEVICES"] = "8"
+        summary = test_net("config/syncbn_micro_test.py", max_images=3)
+    finally:
+        os.environ.pop("SIMPLEDET_EVAL_DEVICES", None)
+    assert summary is not None and np.isfinite(summary["AP"])
