@@ -39,9 +39,19 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
     enable_compilation_cache()
 
     # multi-host: one mechanism replaces the reference's kvstore/PS stack
-    # (doc/DISTRIBUTED.md) — initialize the global mesh when on a pod slice
-    if os.environ.get("SIMPLEDET_DISTRIBUTED"):
-        jax.distributed.initialize()
+    # (doc/DISTRIBUTED.md) — initialize the global mesh when on a pod slice.
+    # SIMPLEDET_DISTRIBUTED=1 auto-detects (TPU pod metadata);
+    # SIMPLEDET_DISTRIBUTED=<coordinator:port>,<num_processes>,<process_id>
+    # is the explicit form (CPU multi-process, tests/test_distributed.py)
+    dist_spec = os.environ.get("SIMPLEDET_DISTRIBUTED")
+    if dist_spec:
+        if "," in dist_spec:
+            addr, nproc, pid = dist_spec.split(",")
+            jax.distributed.initialize(coordinator_address=addr,
+                                       num_processes=int(nproc),
+                                       process_id=int(pid))
+        else:
+            jax.distributed.initialize()
 
     cfg = load_config(config_path)
     (General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
@@ -60,7 +70,11 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
     n_dev = len(devices)
     batch_per_dev = General.batch_image
     global_batch = batch_per_dev * n_dev
-    logger.info(f"{n_dev} devices, global batch {global_batch}")
+    # each process loads only the rows for its local devices; the global
+    # batch is assembled from per-process shards (parallel/mesh.shard_batch)
+    local_batch = batch_per_dev * jax.local_device_count()
+    logger.info(f"{n_dev} devices ({jax.process_count()} processes), "
+                f"global batch {global_batch}")
 
     # data ------------------------------------------------------------------
     roidb = load_roidb(DatasetParam.image_set,
@@ -73,7 +87,7 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
     keys = tuple(k for k in dict.fromkeys(
         ["data", "im_info", "gt_bbox"] + list(label_name or []))
         if k != "teacher_label")
-    loader = Loader(roidb, transform, global_batch, shuffle=True,
+    loader = Loader(roidb, transform, local_batch, shuffle=True,
                     num_workers=General.loader_worker or 8,
                     rank=jax.process_index(), num_ranks=jax.process_count(),
                     keys=keys)
@@ -261,12 +275,15 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
         if pending is None:
             return
         p_losses, p_aux = pending
-        aux_host = jax.tree.map(np.asarray, p_aux)
-        aux_host.update(jax.tree.map(np.asarray, p_losses))
+        # host_local: per-process rows for batch-sharded aux (per-rank
+        # metrics like the reference), local replica for replicated losses
+        from simpledet_tpu.parallel.mesh import host_local
+        aux_host = host_local(p_aux)
+        aux_host.update(host_local(p_losses))
         metrics.update(aux_host)
         if loss_history is not None:
             loss_history.append({k: float(np.mean(v)) for k, v in
-                                 jax.tree.map(np.asarray, p_losses).items()})
+                                 host_local(p_losses).items()})
         pending = None
 
     detail = bool(General.detail_log)

@@ -30,12 +30,15 @@ def save_checkpoint(prefix, epoch, params, opt_state=None, step=None,
                     batch_stats=None):
     if jax.process_index() != 0:
         return
+    # host_local: multi-process replicated arrays are not fully addressable
+    # and np.asarray would raise; read the local replica instead
+    from simpledet_tpu.parallel.mesh import host_local
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
-    params = jax.tree.map(np.asarray, params)
+    params = host_local(params)
     with open(_params_path(prefix, epoch), "wb") as f:
         f.write(flax.serialization.to_bytes(params))
     if opt_state is not None:
-        states = {"opt_state": jax.tree.map(np.asarray, opt_state),
+        states = {"opt_state": host_local(opt_state),
                   "step": int(step) if step is not None else None}
         with open(_states_path(prefix, epoch), "wb") as f:
             pickle.dump(states, f)
@@ -43,8 +46,7 @@ def save_checkpoint(prefix, epoch, params, opt_state=None, step=None,
         # SyncBN running statistics (the reference's BN aux params,
         # utils/load_model.py:18-39 'aux:' entries)
         with open(_batch_stats_path(prefix, epoch), "wb") as f:
-            f.write(flax.serialization.to_bytes(
-                jax.tree.map(np.asarray, batch_stats)))
+            f.write(flax.serialization.to_bytes(host_local(batch_stats)))
 
 
 def load_batch_stats(prefix, epoch, template=None):

@@ -95,3 +95,57 @@ def make_micro_dataset(root, n_images=8, seed=0,
     for name in set_names:
         save_roidb(roidb, name, cache_dir=os.path.join(root, "cache"))
     return roidb, ann_path
+
+
+def make_identical_dataset(root, n_images=32,
+                           set_names=("micro_train", "micro_val")):
+    """All-identical, horizontally-symmetric 128x192 PNG images with one
+    centered gt box (x1+x2 = w-1), for the 2-process distributed test:
+    flip duplication and any batch composition produce positionally
+    identical global batches, so single- vs multi-process losses must
+    match exactly. PNG (lossless) keeps the mirror pixel-exact — JPEG DCT
+    would break flip-invariance."""
+    import cv2
+
+    from simpledet_tpu.data.roidb import save_roidb
+
+    rng = np.random.RandomState(11)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+
+    h, w = 128, 192
+    left = rng.randint(0, 80, (h, w // 2, 3), np.uint8)
+    img = np.concatenate([left, left[:, ::-1]], axis=1)
+    x1, y1, x2, y2 = 64, 30, 127, 93          # x1 + x2 == w - 1
+    cv2.rectangle(img, (x1, y1), (x2, y2), (255, 64, 64), -1)
+    path = os.path.join(img_dir, "im.png")
+    cv2.imwrite(path, img[:, :, ::-1])
+
+    images, annotations, roidb = [], [], []
+    for i in range(n_images):
+        images.append({"id": i + 1, "file_name": "im.png",
+                       "height": h, "width": w})
+        annotations.append({
+            "id": i + 1, "image_id": i + 1, "category_id": 1,
+            "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1],
+            "area": (x2 - x1 + 1) * (y2 - y1 + 1), "iscrowd": 0,
+            "segmentation": [[float(x1), float(y1), float(x2), float(y1),
+                              float(x2), float(y2), float(x1), float(y2)]],
+        })
+        roidb.append({
+            "image_url": path, "im_id": i + 1, "h": h, "w": w,
+            "gt_class": [1],
+            "gt_bbox": [[float(x1), float(y1), float(x2), float(y2)]],
+            "gt_poly": [[annotations[-1]["segmentation"][0]]],
+            "flipped": False,
+        })
+
+    ann = {"images": images, "annotations": annotations,
+           "categories": [{"id": c, "name": f"class{c}"} for c in (1, 2, 3)]}
+    ann_path = os.path.join(root, "annotations.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    cache = os.path.join(root, "cache")
+    for name in set_names:
+        save_roidb(roidb, name, cache)
+    return roidb, ann_path
