@@ -45,13 +45,19 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
     # is the explicit form (CPU multi-process, tests/test_distributed.py)
     dist_spec = os.environ.get("SIMPLEDET_DISTRIBUTED")
     if dist_spec:
+        # generous shutdown barrier: ranks compile/run serially on loaded
+        # hosts (the 1-core CI box) and the 300 s default kills the fast
+        # rank while a slow one is still mid-epoch
+        shutdown_s = int(os.environ.get("SIMPLEDET_DIST_SHUTDOWN_S", "900"))
         if "," in dist_spec:
             addr, nproc, pid = dist_spec.split(",")
             jax.distributed.initialize(coordinator_address=addr,
                                        num_processes=int(nproc),
-                                       process_id=int(pid))
+                                       process_id=int(pid),
+                                       shutdown_timeout_seconds=shutdown_s)
         else:
-            jax.distributed.initialize()
+            jax.distributed.initialize(
+                shutdown_timeout_seconds=shutdown_s)
 
     cfg = load_config(config_path)
     (General, KvstoreParam, RpnParam, RoiParam, BboxParam, DatasetParam,
@@ -97,6 +103,12 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
     rng = jax.random.PRNGKey(0 if not ModelParam.random else int(time.time()))
     sample0 = next(iter(Loader(roidb[:global_batch], transform, 1,
                                shuffle=False, num_workers=0, keys=keys)))
+    # abstract global-batch spec (PRE-normalization dtypes: training
+    # batches stay uint8 until the in-step device_normalize) — used by the
+    # compile-only memonger budget planner below
+    batch_sds = {k: jax.ShapeDtypeStruct(
+        (global_batch,) + np.asarray(v).shape[1:], np.asarray(v).dtype)
+        for k, v in sample0.items() if k != "valid"}
     extra0 = {k: jnp.asarray(v) for k, v in sample0.items()
               if k not in ("data", "im_info", "gt_bbox", "valid")}
     # deferred Norm2DImage: loader batches are uint8; init/teacher inputs
@@ -240,8 +252,48 @@ def train_net(config_path, max_iter_override=None, auto_resume=False,
     remat = False
     if ModelParam.memonger:
         remat = ModelParam.memonger_until or True
+    elif ModelParam.memonger_budget_gb:
+        # automatic plan search to a budget (reference
+        # utils/memonger_v2.py:226 search_plan_to_layer): compile-only
+        # bisection over remat policies using XLA's buffer assignment
+        from simpledet_tpu.core.memonger import plan_remat
+        if "teacher_label" in extra0:
+            t0 = extra0["teacher_label"]
+            batch_sds["teacher_label"] = jax.ShapeDtypeStruct(
+                (global_batch,) + t0.shape[1:], t0.dtype)
+        mk = lambda setting: make_train_step(
+            model, mesh=mesh, remat=setting, quantize=quantize,
+            pixel_norm=pixel_norm)
+        remat, peak, _ = plan_remat(
+            mk, state, batch_sds, jax.random.PRNGKey(0),
+            int(float(ModelParam.memonger_budget_gb) * 2 ** 30),
+            logger=logger)
+        logger.info(
+            f"memonger budget {ModelParam.memonger_budget_gb} GiB -> "
+            f"remat={remat!r}"
+            + (f" (peak {peak / 2**30:.2f} GiB)" if peak else ""))
     step_fn = make_train_step(model, mesh=mesh, remat=remat,
                               quantize=quantize, pixel_norm=pixel_norm)
+    if jax.process_count() > 1:
+        # Cross-process collectives establish their transport (gloo on CPU)
+        # lazily at the FIRST sharded execution, with a short rendezvous
+        # window — if one process is still compiling while another already
+        # executes, the connect times out. So: AOT-compile the step here
+        # (arbitrarily slow, populates the persistent cache), then hold
+        # every process at a coordination-service barrier (pure RPC, long
+        # timeout). After the barrier all processes re-enter the jit from
+        # cache within seconds of each other and the transport connects in
+        # lockstep.
+        if teacher_fn is not None and "teacher_label" not in batch_sds:
+            t0s = extra0["teacher_label"]
+            batch_sds["teacher_label"] = jax.ShapeDtypeStruct(
+                (global_batch,) + t0s.shape[1:], t0s.dtype)
+        logger.info("multi-process: AOT-compiling the sharded train step")
+        step_fn.lower(state, batch_sds, jax.random.PRNGKey(0)).compile()
+        from jax._src import distributed as _dist
+        _dist.global_state.client.wait_at_barrier(
+            "simpledet_train_start", timeout_in_ms=1800 * 1000)
+        logger.info("multi-process: all processes at start barrier")
     metrics = CompositeMetric(metric_list)
     # General.detail_log switches to the data/compute-split speedometer
     # (reference utils/callback.py:40 DetailSpeedometer)

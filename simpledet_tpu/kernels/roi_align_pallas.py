@@ -241,21 +241,26 @@ def _prep(feats, rois, strides, out_size, canonical_scale, canonical_level,
     # one-hot min(lo+1, size-1) edge semantics exactly.
     xl = jnp.clip(jnp.floor(rel_x), 0, cw - 2).astype(jnp.int32)
     fx = (rel_x - xl.astype(rois.dtype)).astype(jnp.float32)
-    # SMEM pads 2D scalar arrays' minor dim to 128 lanes; keep them 1D
-    xl = xl.reshape(-1)
-    fx = fx.reshape(-1)
+    # xl/fx become [BR, 1, 2P]: they enter the kernels as per-roi
+    # PIPELINED SMEM blocks ([1, 1, 2P] per grid step), not scalar
+    # prefetch — the whole pair is ~1.8 MB at batch 32 x 512 rois, which
+    # overflowed the 1 MB scalar-prefetch SMEM cap (the round-4 batch-32
+    # compile failure); a per-step block is 2P ints regardless of batch.
+    # (Rank 3 because Mosaic requires a block's last two dims to equal the
+    # array dims or be 8/128-divisible — (1, 2P) over [BR, 2P] is not.)
+    xl = xl[:, None, :]
+    fx = fx[:, None, :]
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r_per)
     xgc0 = (x0 + jnp.asarray(offs, jnp.int32)[lvl_idx]) * c
     return img_idx, y0, xgc0, wy, xl, fx, empty, small
 
 
-def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, canvas,
-                wy_ref, out_ref, mask_ref, win, tmp_scr, sems, *, crop,
+def _fwd_kernel(img_ref, y0_ref, xgc_ref, canvas, wy_ref, xl_ref, fx_ref,
+                out_ref, mask_ref, win, tmp_scr, sems, *, crop,
                 crop_x, c, p, br, mode, scw):
     r = pl.program_id(0)
-    # img_ref packs (small << 20) | img_idx: a separate [BR] small array
-    # tipped the scalar-prefetch SMEM budget over its 1 MB cap at batch 16
-    # (xl+fx alone are ~900 KB there)
+    # img_ref packs (small << 20) | img_idx (one scalar-prefetch array
+    # instead of two); xl/fx arrive as per-roi [1, 2P] SMEM blocks
 
     def dma(slot, idx, size):
         return pltpu.make_async_copy(
@@ -314,10 +319,10 @@ def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, canvas,
         cols = []
         for sx in range(2):
             row = sx * p + px
-            xlc = pl.multiple_of(xl_ref[r * 2 * p + row] * c, c)
+            xlc = pl.multiple_of(xl_ref[0, 0, row] * c, c)
             a = tmp_scr[:, pl.ds(xlc, c)]                 # [2P, C] left tap
             b_ = tmp_scr[:, pl.ds(xlc + c, c)]            # right tap
-            f = fx_ref[r * 2 * p + row]
+            f = fx_ref[0, 0, row]
             cols.append(a * (1.0 - f) + b_ * f)           # [2P, C]
         s00, s10 = cols[0][:p], cols[0][p:]               # [P, C] (sy, sx)
         s01, s11 = cols[1][:p], cols[1][p:]
@@ -336,12 +341,14 @@ def _fwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref, canvas,
                         (p, c), mask_ref.dtype)
 
 
-def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref,
-                tabs_in, g_ref, mask_ref, wy_ref, tabs_out, win, dtmp,
+def _bwd_kernel(img_ref, y0_ref, xgc_ref,
+                tabs_in, g_ref, mask_ref, wy_ref, xl_ref, fx_ref,
+                tabs_out, win, dtmp,
                 dwin_scr, rsems, wsems, *, crop, crop_x, c, p, br, slots,
                 scw):
     r = pl.program_id(0)
-    # img_ref packs (small << 20) | img_idx — see _fwd_kernel
+    # img_ref packs (small << 20) | img_idx; xl/fx are [1, 2P] SMEM
+    # blocks — see _fwd_kernel
 
     def window(idx, size):
         s = jax.lax.rem(idx, slots)
@@ -394,8 +401,8 @@ def _bwd_kernel(img_ref, y0_ref, xgc_ref, xl_ref, fx_ref,
             gsel = jnp.concatenate(
                 [ginv[:, px, :] * mask_ref[0, sy, sx, :, px, :].astype(
                     jnp.float32) for sy in range(2)], axis=0)  # [2P, C]
-            f = fx_ref[r * 2 * p + row]
-            xlc = pl.multiple_of(xl_ref[r * 2 * p + row] * c, c)
+            f = fx_ref[0, 0, row]
+            xlc = pl.multiple_of(xl_ref[0, 0, row] * c, c)
             dtmp[:, pl.ds(xlc, c)] = (dtmp[:, pl.ds(xlc, c)]
                                       + gsel * (1.0 - f))
             dtmp[:, pl.ds(xlc + c, c)] = (dtmp[:, pl.ds(xlc + c, c)]
@@ -497,11 +504,15 @@ def _fwd(feats, rois, strides, out_size, canonical_scale, canonical_level,
 
     img_code = img_idx + (small << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(br,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # canvas in HBM
             pl.BlockSpec((1, 2 * p, cw), lambda r, *s: (r, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * p), lambda r, *s: (r, 0, 0),
+                         memory_space=pltpu.SMEM),        # xl
+            pl.BlockSpec((1, 1, 2 * p), lambda r, *s: (r, 0, 0),
+                         memory_space=pltpu.SMEM),        # fx
         ],
         out_specs=[
             pl.BlockSpec((1, p, p, c), lambda r, *s: (r, 0, 0, 0)),
@@ -523,7 +534,7 @@ def _fwd(feats, rois, strides, out_size, canonical_scale, canonical_level,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(img_code, y0, xgc0, xl, fx, canvas, wy)
+    )(img_code, y0, xgc0, canvas, wy, xl, fx)
 
     out = jnp.where(empty[..., None], 0.0, out).astype(feats[0].dtype)
     out = out.reshape(b, r_per, p, p, c)
@@ -573,14 +584,19 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
     t_bytes = cw * cw * c * (2 if tab_dt == jnp.bfloat16 else 4)
     slots = int(os.environ.get("SIMPLEDET_ROI_BWD_SLOTS", "0"))
     if not slots:
-        slots = 4
-        while slots > 2 and _BWD_FIXED_VMEM + slots * t_bytes > _VMEM_BUDGET:
-            slots -= 1
+        # ONE table: round-4 slot sweeps (1/2/4) showed the RMW pipeline
+        # slack buys nothing — the per-roi dwin compute already covers the
+        # DMA round-trip — while every extra slot costs a full
+        # canvas-sized zero-init (broadcast, ~1.7 ms/GiB) plus a
+        # cross-slot reduce (2.6 ms at flagship batch 8). Measured round
+        # 5: slots=1 takes the b8 step 152.2 -> 147.2 ms (52.6 -> 54.3
+        # img/s). SIMPLEDET_ROI_BWD_SLOTS restores deeper pipelines.
+        slots = 1
     tabs0 = jnp.zeros((slots, b, hp, wtot * c), tab_dt)
 
     img_code = img_idx + (small << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(br,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # grad tables
@@ -588,6 +604,10 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
             pl.BlockSpec((1, 2, 2, p, p, c),
                          lambda r, *s: (r, 0, 0, 0, 0, 0)),
             pl.BlockSpec((1, 2 * p, cw), lambda r, *s: (r, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * p), lambda r, *s: (r, 0, 0),
+                         memory_space=pltpu.SMEM),        # xl
+            pl.BlockSpec((1, 1, 2 * p), lambda r, *s: (r, 0, 0),
+                         memory_space=pltpu.SMEM),        # fx
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -603,11 +623,11 @@ def _bwd(strides, out_size, canonical_scale, canonical_level, mode, crop,
                           br=br, slots=slots, scw=scw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((slots, b, hp, wtot * c), tab_dt),
-        input_output_aliases={5: 0},
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(img_code, y0, xgc0, xl, fx, tabs0, g, mask, wy)
+    )(img_code, y0, xgc0, tabs0, g, mask, wy, xl, fx)
 
     gc = jnp.sum(tabs.astype(jnp.float32), axis=0).reshape(b, hp, wtot, c)
     gfeats = [gc[:, :h, off:off + w, :].astype(dtype)

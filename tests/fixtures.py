@@ -149,3 +149,73 @@ def make_identical_dataset(root, n_images=32,
     for name in set_names:
         save_roidb(roidb, name, cache)
     return roidb, ann_path
+
+
+def make_crowd_dataset(root, n_images=16, seed=5,
+                       set_names=("converge_train",)):
+    """Crowd-overlap synthetic set for the set-NMS/EMD effectiveness gate:
+    every image holds PAIRS of same-class boxes at IoU ~0.6 (above the 0.5
+    NMS threshold), so vanilla per-class NMS caps recall at one box per
+    pair while set-NMS (double-pred sets) can keep both — the measurable
+    delta the gate asserts (reference operator_py/nms.py:77-107 set_nms,
+    models/crowdhuman EMD double prediction)."""
+    import cv2
+
+    from simpledet_tpu.data.roidb import save_roidb
+
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+
+    images, annotations, roidb = [], [], []
+    ann_id = 1
+    for i in range(n_images):
+        h, w = (160, 224) if i % 2 == 0 else (224, 160)
+        img = rng.randint(0, 60, (h, w, 3), np.uint8)
+        boxes = []
+        for j in range(2):
+            bw, bh = rng.randint(40, 64), rng.randint(40, 64)
+            dx = int(bw * 0.25)          # IoU(A, B) = 0.75/1.25 = 0.6
+            x1 = rng.randint(0, w - bw - dx - 1)
+            y1 = rng.randint(0, h - bh - 1)
+            a = [x1, y1, x1 + bw - 1, y1 + bh - 1]
+            b = [x1 + dx, y1, x1 + dx + bw - 1, y1 + bh - 1]
+            cv2.rectangle(img, (a[0], a[1]), (a[2], a[3]), (255, 64, 64), -1)
+            # partial occlusion keeps both instances visible
+            cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]), (64, 255, 64), 2)
+            cv2.rectangle(img, (a[2], b[1]), (b[2], b[3]), (64, 255, 64), -1)
+            boxes += [a, b]
+        path = os.path.join(img_dir, f"crowd{i}.png")
+        cv2.imwrite(path, img[:, :, ::-1])
+        images.append({"id": i + 1, "file_name": f"crowd{i}.png",
+                       "height": h, "width": w})
+        for bx in boxes:
+            x1, y1, x2, y2 = bx
+            annotations.append({
+                "id": ann_id, "image_id": i + 1, "category_id": 1,
+                "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1],
+                "area": (x2 - x1 + 1) * (y2 - y1 + 1), "iscrowd": 0,
+                "segmentation": [[float(x1), float(y1), float(x2), float(y1),
+                                  float(x2), float(y2), float(x1),
+                                  float(y2)]],
+            })
+            ann_id += 1
+        roidb.append({
+            "image_url": path, "im_id": i + 1, "h": h, "w": w,
+            "gt_class": [1] * len(boxes),
+            "gt_bbox": [[float(v) for v in b] for b in boxes],
+            "gt_poly": [[[float(b[0]), float(b[1]), float(b[2]), float(b[1]),
+                          float(b[2]), float(b[3]), float(b[0]),
+                          float(b[3])]] for b in boxes],
+            "flipped": False,
+        })
+
+    ann = {"images": images, "annotations": annotations,
+           "categories": [{"id": 1, "name": "person"}]}
+    ann_path = os.path.join(root, "annotations.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    cache = os.path.join(root, "cache")
+    for name in set_names:
+        save_roidb(roidb, name, cache)
+    return roidb, ann_path

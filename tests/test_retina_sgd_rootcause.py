@@ -1,0 +1,124 @@
+"""Retina-under-SGD root cause, pinned as a test (VERDICT r4 Weak #5).
+
+The reference trains RetinaNet with SGD (models/retinanet/builder.py:
+254-333, config/retina_r50v1_fpn_1x.py) over 90k iters from a pretrained
+backbone; round-4's from-scratch 480-step gate only converged under adam.
+Round-5 diagnosis (tools/probe_retina_sgd.py): NOT a loss-semantics
+divergence — the /fg_count-normalized focal gradients give per-parameter-
+group relative SGD update sizes spanning >= 2 orders of magnitude at any
+single lr, so the subnets cannot move in 480 steps without the pred
+convs diverging. Given ~5x the steps (the thing the reference's 90k-iter
+schedule provides), the reference's own optimizer converges here too:
+chip SGD run at lr 5e-3 / warmup 200 / 2400 steps reached AP 0.927 /
+AP50 1.0 (committed artifact, experiments/converge_retina_sgd/).
+
+This test (a) measures the gradient-scale spread at init and asserts the
+documented mismatch is real, and (b) checks the committed SGD-convergence
+artifact so the claim stays artifact-backed.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+pytestmark = pytest.mark.slow
+
+DATA_ROOT = "/tmp/simpledet_converge"
+
+
+def test_sgd_update_scale_spread_at_init():
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from tests.fixtures import make_micro_dataset
+    if not os.path.exists(os.path.join(DATA_ROOT, "annotations.json")):
+        os.makedirs(DATA_ROOT, exist_ok=True)
+        make_micro_dataset(DATA_ROOT, n_images=16,
+                           set_names=("converge_train",))
+    os.environ["CONVERGE_DATA_ROOT"] = DATA_ROOT
+
+    from simpledet_tpu.core.config import load_config
+    from simpledet_tpu.data.loader import Loader
+    from simpledet_tpu.data.roidb import append_flipped, load_roidb
+    from simpledet_tpu.ops.image import device_normalize, find_pixel_norm
+
+    cfg = load_config("config/converge_retina.py")
+    t = cfg.get_config(is_train=True)
+    model, DatasetParam, transform = t[6].train_symbol, t[5], t[9]
+    roidb = append_flipped(load_roidb(DatasetParam.image_set,
+                                      DatasetParam.cache_dir))
+    batch = next(iter(Loader(roidb, transform, 8, shuffle=True,
+                             num_workers=0)))
+    data = jnp.asarray(batch["data"])
+    pn = find_pixel_norm(transform)
+    if pn is not None:
+        data = device_normalize(data, jnp.asarray(batch["im_info"]), *pn)
+
+    variables = jax.jit(lambda k1, k2: model.init(
+        {"params": k1, "sampling": k2}, data, jnp.asarray(batch["im_info"]),
+        jnp.asarray(batch["gt_bbox"]), mode="train"))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+
+    def loss_fn(p):
+        (losses, _), _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            data, jnp.asarray(batch["im_info"]),
+            jnp.asarray(batch["gt_bbox"]), mode="train",
+            rngs={"sampling": jax.random.PRNGKey(7)},
+            mutable=["batch_stats"])
+        return sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+
+    def group_of(path):
+        name = "/".join(str(p) for p in path)
+        if "bbox_pred" in name:
+            return "bbox_pred"
+        if "cls_conv" in name:
+            return "cls_tower"
+        return None
+
+    agg = {"bbox_pred": [0.0, 0.0, 0], "cls_tower": [0.0, 0.0, 0]}
+    flat_g = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, grads))
+    flat_w = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, variables["params"]))
+    for path, g in flat_g.items():
+        grp = group_of(path)
+        if grp is None or path[-1] == "bias":
+            continue
+        a = agg[grp]
+        a[0] += float((g.astype(np.float64) ** 2).sum())
+        a[1] += float((flat_w[path].astype(np.float64) ** 2).sum())
+        a[2] += g.size
+
+    rel = {}
+    for grp, (g2, w2, n) in agg.items():
+        rel[grp] = (g2 / n) ** 0.5 / max((w2 / n) ** 0.5, 1e-30)
+    # the probe's extremes: the bbox pred conv moves an order of
+    # magnitude (kernels only, ~17x measured here; >100x with the
+    # zero-init biases included, tools/probe_retina_sgd.py) faster than
+    # the cls tower under any single SGD lr — the scale mismatch that
+    # stalls short-schedule SGD while leaving adam's per-param
+    # normalization unaffected
+    spread = rel["bbox_pred"] / rel["cls_tower"]
+    assert spread >= 8, (rel, spread)
+
+
+def test_sgd_convergence_artifact_committed():
+    """The chip SGD run (reference optimizer, 5x steps) must stay in the
+    repo with its losses showing real convergence."""
+    d = "experiments/converge_retina_sgd"
+    losses = os.path.join(d, "losses.jsonl")
+    assert os.path.exists(losses), "SGD convergence artifact missing"
+    rows = [json.loads(l) for l in open(losses)]
+    assert len(rows) >= 2000
+    cls = [r["retina_cls_loss"] for r in rows]
+    assert np.mean(cls[:20]) > 0.5          # started untrained
+    assert np.mean(cls[-20:]) < 0.01        # converged under SGD
+    log = open(os.path.join(d, "log.txt")).read()
+    assert "lr 0.005" in log

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", required=True,
-                    choices=["mask", "retina", "cascade", "fcos", "faster", "trident"])
+                    choices=["mask", "retina", "cascade", "fcos", "faster", "trident", "crowd"])
     ap.add_argument("--batch", default=None)
     ap.add_argument("--epochs", default=None)
     ap.add_argument("--lr", default=None)
@@ -44,6 +44,7 @@ def main():
 
     root = args.data_root or (
         "/tmp/simpledet_converge_mask" if fam == "mask"
+        else "/tmp/simpledet_converge_crowd" if fam == "crowd"
         else "/tmp/simpledet_converge")
     os.environ["CONVERGE_DATA_ROOT"] = root
     for k, v in [("BATCH", args.batch), ("EPOCHS", args.epochs),
@@ -53,10 +54,16 @@ def main():
             os.environ[f"{prefix}_{k}"] = str(v)
 
     if not os.path.exists(os.path.join(root, "annotations.json")):
-        from tests.fixtures import make_micro_dataset
         shutil.rmtree(root, ignore_errors=True)
-        make_micro_dataset(root, n_images=16, set_names=("converge_train",),
-                           shapes="ellipse" if fam == "mask" else "rect")
+        if fam == "crowd":
+            from tests.fixtures import make_crowd_dataset
+            make_crowd_dataset(root, n_images=16,
+                               set_names=("converge_train",))
+        else:
+            from tests.fixtures import make_micro_dataset
+            make_micro_dataset(root, n_images=16,
+                               set_names=("converge_train",),
+                               shapes="ellipse" if fam == "mask" else "rect")
         print(f"dataset written to {root}")
 
     hist = []
@@ -75,7 +82,16 @@ def main():
                 for h in hist:
                     f.write(json.dumps(h) + "\n")
 
-    if fam == "mask":
+    if fam == "crowd":
+        from detection_test import test_net
+        os.environ["CONVERGE_CROWD_NMS"] = "setnms"
+        s_set = test_net(cfg)
+        os.environ["CONVERGE_CROWD_NMS"] = "nms"
+        s_van = test_net(cfg)
+        del os.environ["CONVERGE_CROWD_NMS"]
+        print("GATE setnms AP:", s_set["AP"], "vanilla AP:", s_van["AP"],
+              "delta:", s_set["AP"] - s_van["AP"])
+    elif fam == "mask":
         from mask_test import mask_test_net
         summaries = mask_test_net(cfg)
         print("GATE box AP:", summaries["bbox"]["AP"],
