@@ -6,6 +6,8 @@ checkpoint under set-NMS and vanilla NMS. Asserts set-NMS wins by a real
 margin — vanilla NMS suppresses one member of each pair, capping recall
 at ~50% of pair members, while set-NMS keeps both (reference
 operator_py/nms.py:77-107 set_nms + models/crowdhuman EMD loss).
+Chip-scale at 480 steps: setnms AP 0.965 vs vanilla 0.512 — delta 0.453
+(experiments/converge_crowd/log.txt).
 """
 import os
 import shutil
