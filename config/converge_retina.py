@@ -91,7 +91,7 @@ def get_config(is_train):
     # REFERENCE'S OWN SGD RECIPE SHAPE CONVERGES HERE TOO:
     #   CONVERGE_RETINA_OPT=sgd, lr 5e-3, warmup 200, 2400 steps, batch 8
     #   -> chip AP 0.927 / AP50 1.0 / AP75 0.947
-    #   (experiments/converge_retina_sgd/, 12.6 min on chip).
+    #   (experiments/chip/converge_retina_sgd/, 12.6 min on chip).
     # adam 5e-4 stays the CI default only because it converges in 480-640
     # steps — 1-core CI cannot afford the 2400-step SGD schedule. adam
     # 1e-3 is marginally stable (ULP-level program differences flip it);

@@ -10,7 +10,7 @@ single lr, so the subnets cannot move in 480 steps without the pred
 convs diverging. Given ~5x the steps (the thing the reference's 90k-iter
 schedule provides), the reference's own optimizer converges here too:
 chip SGD run at lr 5e-3 / warmup 200 / 2400 steps reached AP 0.927 /
-AP50 1.0 (committed artifact, experiments/converge_retina_sgd/).
+AP50 1.0 (committed artifact, experiments/chip/converge_retina_sgd/).
 
 This test (a) measures the gradient-scale spread at init and asserts the
 documented mismatch is real, and (b) checks the committed SGD-convergence
@@ -112,7 +112,7 @@ def test_sgd_update_scale_spread_at_init():
 def test_sgd_convergence_artifact_committed():
     """The chip SGD run (reference optimizer, 5x steps) must stay in the
     repo with its losses showing real convergence."""
-    d = "experiments/converge_retina_sgd"
+    d = "experiments/chip/converge_retina_sgd"
     losses = os.path.join(d, "losses.jsonl")
     assert os.path.exists(losses), "SGD convergence artifact missing"
     rows = [json.loads(l) for l in open(losses)]
