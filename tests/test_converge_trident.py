@@ -8,7 +8,11 @@ MODEL_ZOO.md:110 Trident R50v2-C4 AP 37.1). Exercises branch folding into
 the batch axis, the shared-kernel multi-dilation stage-3 units,
 scale-aware gt filtering + invalid-gt anchor ignore, and the test-time
 cross-branch merge (range filter + fold into the detection axis + NMS).
-Chip-scale: AP 1.000 / AP50 1.0 at 480 steps (experiments/converge_curve.md).
+Chip-scale: AP 0.711 / AP50 0.995 / AP75 0.912 at 480 steps
+(experiments/chip/converge_trident/); a 240-step probe reached only AP
+0.36, so the gate keeps the full 480-step recipe. NOTE: the heaviest CI
+gate — 3 dilated branches + C5 head need ~3 h on a 1-core box (the chip
+runs it in 19 min); the committed chip artifact is the primary evidence.
 """
 import os
 import shutil
