@@ -69,17 +69,22 @@ def bwd_vmem_fits(cw, c, tab_bytes, min_slots=2):
 
 
 def _small_cw(cw):
-    """Small-window size for the two-size DMA path: 40 covers the
-    canonical FPN footprint band (14-28 cells + bilinear tap + 8-align
-    slack) and cuts per-roi window traffic to (40/cw)^2 for the bulk of
-    rois. Disabled (0) when the static window is already small, or via
-    SIMPLEDET_ROI_SMALL_CW=0; any other value overrides."""
+    """Per-roi window size CLASSES for the multi-size DMA path, largest
+    first (the static worst case `cw` is always class 0). 40 covers the
+    canonical FPN footprint band's top (14-28 cells + bilinear tap +
+    8-align slack); 32 catches footprints <= 23 cells — the lower half of
+    the canonical band plus every sub-canonical roi — at (32/40)^2 = 0.64
+    of the small class's DMA traffic. Returns () when the static window
+    is already small. SIMPLEDET_ROI_SMALL_CW overrides as a
+    comma-separated descending list ('0' disables; a single value
+    restores the round-4 two-size behavior)."""
     import os
     v = os.environ.get("SIMPLEDET_ROI_SMALL_CW")
     if v is not None:
-        scw = int(v)
-        return scw if 0 < scw < cw else 0
-    return 40 if cw >= 56 else 0
+        sizes = tuple(int(x) for x in v.split(",") if int(x) > 0)
+        sizes = tuple(s for s in sizes if s < cw)
+        return tuple(sorted(sizes, reverse=True))
+    return (40, 32) if cw >= 56 else ()
 
 
 def _auto_crop(feats, strides, canonical_scale, canonical_level, p):
@@ -207,21 +212,19 @@ def _prep(feats, rois, strides, out_size, canonical_scale, canonical_level,
 
     y0 = origin(ys2, hp, cw)
     x0 = origin(xs2, slot_w, cw)
-    if small_cw and small_cw < cw:
-        # per-size origin clamp: near-edge rois clamp differently for the
-        # small sub-window; a roi is small only if its full support fits
-        # the small window FROM the small-clamped origin (the +1 covers
-        # the bilinear right tap)
-        y0s = origin(ys2, hp, small_cw)
-        x0s = origin(xs2, slot_w, small_cw)
-        fits = ((jnp.max(ys2, 1) - y0s.astype(rois.dtype) <= small_cw - 1)
-                & (jnp.max(xs2, 1) - x0s.astype(rois.dtype)
-                   <= small_cw - 1))
-        small = fits.astype(jnp.int32)
+    # per-size origin clamp: near-edge rois clamp differently for each
+    # sub-window size; a roi joins class k only if its full support fits
+    # that size FROM the size-clamped origin (the +1 covers the bilinear
+    # right tap). Sizes descend, so later (smaller) classes override.
+    small = jnp.zeros(ys2.shape[0], jnp.int32)
+    for code, sz in enumerate(small_cw or (), start=1):
+        y0s = origin(ys2, hp, sz)
+        x0s = origin(xs2, slot_w, sz)
+        fits = ((jnp.max(ys2, 1) - y0s.astype(rois.dtype) <= sz - 1)
+                & (jnp.max(xs2, 1) - x0s.astype(rois.dtype) <= sz - 1))
+        small = jnp.where(fits, code, small)
         y0 = jnp.where(fits, y0s, y0)
         x0 = jnp.where(fits, x0s, x0)
-    else:
-        small = jnp.zeros(ys2.shape[0], jnp.int32)
     rel_y = jnp.clip(ys2 - y0[:, None].astype(rois.dtype), 0.0, cw - 1.0)
     rel_x = jnp.clip(xs2 - x0[:, None].astype(rois.dtype), 0.0,
                      cw - 1.0)
@@ -273,16 +276,14 @@ def _fwd_kernel(img_ref, y0_ref, xgc_ref, canvas, wy_ref, xl_ref, fx_ref,
             sems.at[slot])
 
     def sized_fwd(idx, fn):
-        if scw:
-            @pl.when((img_ref[idx] >> 20) == 1)
-            def _():
-                fn(scw)
-
-            @pl.when((img_ref[idx] >> 20) == 0)
-            def _():
-                fn(crop)
-        else:
+        if not scw:
             fn(crop)
+            return
+        cls = img_ref[idx] >> 20
+        for code, sz in enumerate((crop,) + tuple(scw)):
+            @pl.when(cls == code)
+            def _(sz=sz):
+                fn(sz)
 
     def start(slot, idx):
         sized_fwd(idx, lambda sz: dma(slot, idx, sz).start())
@@ -372,18 +373,16 @@ def _bwd_kernel(img_ref, y0_ref, xgc_ref,
 
     def sized(idx, fn):
         """Run fn(size) with the DMA size matching roi idx's class. The
-        small path round-trips only the sub-window; rows/cols beyond stay
+        small paths round-trip only the sub-window; rows/cols beyond stay
         stale in VMEM but are never written back (dwin is zero there)."""
-        if scw:
-            @pl.when((img_ref[idx] >> 20) == 1)
-            def _():
-                fn(scw)
-
-            @pl.when((img_ref[idx] >> 20) == 0)
-            def _():
-                fn(crop)
-        else:
+        if not scw:
             fn(crop)
+            return
+        cls = img_ref[idx] >> 20
+        for code, sz in enumerate((crop,) + tuple(scw)):
+            @pl.when(cls == code)
+            def _(sz=sz):
+                fn(sz)
 
     @pl.when(r == 0)
     def _():

@@ -205,7 +205,7 @@ def test_pallas_two_size_window_matches_crop_path():
         2, max(88 // (2 ** i), 3), max(336 // (2 ** i), 3), c)
         .astype(np.float32)) for i in range(4)]
     strides = (4, 8, 16, 32)
-    assert _small_cw(56) == 40   # default engages at cw 56
+    assert _small_cw(56) == (40, 32)   # default classes engage at cw 56
 
     n = 14
     xy = rng.uniform(0, 250, (n, 2)).astype(np.float32)
