@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", required=True,
-                    choices=["mask", "retina", "cascade", "fcos", "faster", "trident", "crowd", "freeanchor", "reppoints", "tsd"])
+                    choices=["mask", "retina", "cascade", "fcos", "faster", "trident", "crowd", "freeanchor", "reppoints", "tsd", "nasfpn", "sepc"])
     ap.add_argument("--batch", default=None)
     ap.add_argument("--epochs", default=None)
     ap.add_argument("--lr", default=None)
