@@ -3,6 +3,7 @@
 Trains config/converge_nasfpn.py from scratch on the 16-image synthetic
 set over the 8-device CPU mesh, then asserts box AP >= 0.6 through
 detection_test. See the config docstring for the exact machinery gated.
+Chip-scale: AP 0.884 / AP50 0.997 (experiments/chip/converge_nasfpn/).
 """
 import os
 import shutil

@@ -3,6 +3,7 @@
 Trains config/converge_sepc.py from scratch on the 16-image synthetic
 set over the 8-device CPU mesh, then asserts box AP >= 0.6 through
 detection_test. See the config docstring for the exact machinery gated.
+Chip-scale: AP 0.969 / AP50 0.977 (experiments/chip/converge_sepc/).
 """
 import os
 import shutil
