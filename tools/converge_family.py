@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", required=True,
-                    choices=["mask", "retina", "cascade", "fcos", "faster", "trident", "crowd", "freeanchor", "reppoints", "tsd", "nasfpn", "sepc"])
+                    choices=["mask", "retina", "cascade", "fcos", "faster", "trident", "crowd", "freeanchor", "reppoints", "tsd", "nasfpn", "sepc", "msrcnn"])
     ap.add_argument("--batch", default=None)
     ap.add_argument("--epochs", default=None)
     ap.add_argument("--lr", default=None)
@@ -43,7 +43,7 @@ def main():
         cfg, name = f"config/converge_{fam}.py", f"converge_{fam}"
 
     root = args.data_root or (
-        "/tmp/simpledet_converge_mask" if fam == "mask"
+        "/tmp/simpledet_converge_mask" if fam in ("mask", "msrcnn")
         else "/tmp/simpledet_converge_crowd" if fam == "crowd"
         else "/tmp/simpledet_converge")
     os.environ["CONVERGE_DATA_ROOT"] = root
@@ -63,7 +63,7 @@ def main():
             from tests.fixtures import make_micro_dataset
             make_micro_dataset(root, n_images=16,
                                set_names=("converge_train",),
-                               shapes="ellipse" if fam == "mask" else "rect")
+                               shapes="ellipse" if fam in ("mask", "msrcnn") else "rect")
         print(f"dataset written to {root}")
 
     hist = []
@@ -91,7 +91,7 @@ def main():
         del os.environ["CONVERGE_CROWD_NMS"]
         print("GATE setnms AP:", s_set["AP"], "vanilla AP:", s_van["AP"],
               "delta:", s_set["AP"] - s_van["AP"])
-    elif fam == "mask":
+    elif fam in ("mask", "msrcnn"):
         from mask_test import mask_test_net
         summaries = mask_test_net(cfg)
         print("GATE box AP:", summaries["bbox"]["AP"],
