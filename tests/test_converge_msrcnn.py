@@ -4,6 +4,8 @@ Trains config/converge_msrcnn.py (the ellipse-mask recipe + MaskIoU head)
 from scratch over the 8-device CPU mesh, then asserts segm AP >= 0.6
 through mask_test — gating the maskiou regression target and its
 test-time score reweighting (reference models/msrcnn/).
+Chip-scale: box AP 0.961 / segm AP 0.940 / segm AP75 1.0
+(experiments/chip/converge_msrcnn/).
 """
 import os
 import shutil
