@@ -57,7 +57,13 @@ from simpledet_tpu.targets.fpn_assign import fpn_roi_level
 
 # Mosaic scoped-VMEM stack model for the backward kernel (see _bwd):
 # fixed slot-independent temporaries + `slots` window tables must stay
-# under the 16 MB scoped limit with headroom.
+# under the 16 MB scoped limit with headroom. The 9.8 MB constant was
+# calibrated from the compiler's accounting BEFORE dwin_scr became an
+# explicit scratch (ADVICE r4); the fit check below still assumes
+# min_slots=2 while the runtime default is now slots=1 (round 5), so the
+# model over-reserves by one table (~1.6 MB at flagship shapes) — a
+# conservative margin that more than covers the explicit dwin scratch,
+# verified by compiling the flagship backward at batch 8/16/32 on chip.
 _BWD_FIXED_VMEM = int(9.8 * 2 ** 20)
 _VMEM_BUDGET = int(14.2 * 2 ** 20)
 
